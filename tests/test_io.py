@@ -1,0 +1,89 @@
+"""RAW / PPM / magnitude I/O parity (reference: data2d.cpp, io_utils.cpp)."""
+
+import numpy as np
+import pytest
+
+from tpuflow.io import (
+    read_raw_f32,
+    read_raw_u8,
+    write_raw_f32,
+    write_raw_u8,
+    write_flow_image_rgb,
+    write_magnitude_f32,
+)
+from tpuflow.io.flow_viz import flow_to_rgb
+from tpuflow.io.raw import read_frame
+
+
+def test_raw_f32_roundtrip(tmp_path):
+    img = np.random.default_rng(0).normal(size=(7, 5)).astype(np.float32)
+    p = str(tmp_path / "a.raw")
+    write_raw_f32(p, img)
+    out = read_raw_f32(p, 5, 7)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_raw_u8_widen_and_clamp(tmp_path):
+    img = np.array([[-3.0, 0.0, 128.9], [255.0, 300.0, 42.0]], dtype=np.float32)
+    p = str(tmp_path / "b.raw")
+    write_raw_u8(p, img)
+    out = read_raw_u8(p, 3, 2)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(
+        out, np.array([[0, 0, 128], [255, 255, 42]], dtype=np.float32)
+    )
+
+
+def test_read_frame_autodetect(tmp_path):
+    img = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p8 = str(tmp_path / "c8.raw")
+    p32 = str(tmp_path / "c32.raw")
+    write_raw_u8(p8, img)
+    write_raw_f32(p32, img)
+    np.testing.assert_array_equal(read_frame(p8, 4, 3), img)
+    np.testing.assert_array_equal(read_frame(p32, 4, 3), img)
+    with pytest.raises(ValueError):
+        read_frame(p8, 5, 3)
+
+
+def test_read_too_small_raises(tmp_path):
+    p = str(tmp_path / "d.raw")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 10)
+    with pytest.raises(ValueError):
+        read_raw_f32(p, 4, 4)
+
+
+def test_flow_to_rgb_anchor_colors():
+    # Color-circle anchors (reference: io_utils.cpp:168-216).
+    u = np.array([[0.0, 10.0, -10.0, 0.0]])
+    v = np.array([[0.0, 0.0, 0.0, 10.0]])
+    rgb = flow_to_rgb(u, v, flow_max_scale=10.0)
+    np.testing.assert_array_equal(rgb[0, 0], [0, 0, 0])  # zero flow -> black
+    np.testing.assert_array_equal(rgb[0, 1], [255, 0, 0])  # +x -> red
+    np.testing.assert_array_equal(rgb[0, 2], [0, 255, 0])  # -x -> green
+    np.testing.assert_array_equal(rgb[0, 3], [64, 64, 255])  # +y -> blue-ish
+
+
+def test_flow_amplitude_scales_brightness():
+    rgb_half = flow_to_rgb(np.array([[5.0]]), np.array([[0.0]]), 10.0)
+    np.testing.assert_array_equal(rgb_half[0, 0], [127, 0, 0])
+
+
+def test_ppm_header_and_payload(tmp_path):
+    u = np.zeros((2, 3), np.float32)
+    v = np.zeros((2, 3), np.float32)
+    p = str(tmp_path / "e.ppm")
+    write_flow_image_rgb(u, v, 10.0, p)
+    blob = open(p, "rb").read()
+    assert blob.startswith(b"P6 \n3 2 \n255\n")
+    assert len(blob) == len(b"P6 \n3 2 \n255\n") + 2 * 3 * 3
+
+
+def test_magnitude_file(tmp_path):
+    u = np.array([[3.0]], np.float32)
+    v = np.array([[4.0]], np.float32)
+    p = str(tmp_path / "f.raw")
+    write_magnitude_f32(u, v, p)
+    out = np.fromfile(p, dtype="<f4")
+    np.testing.assert_allclose(out, [5.0])

@@ -1,0 +1,129 @@
+"""Typed configuration for the optical-flow solver.
+
+Replaces the reference's two-tier config system — an XML settings file parsed
+with vendored TinyXML (reference: src/utils/settings.cpp:53-144) plus
+positional CLI overrides and hardcoded defaults
+(reference: src/main.cpp:65-87,107-169) — with a single frozen dataclass.
+An XML-compat reader is provided so reference ``settings.xml`` files work
+unchanged (schema: reference settings.xml:3-27).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+
+class DataConstancy(enum.Enum):
+    """Data-term variant (reference: src/data_types/data_structs.h:27)."""
+
+    GREY = "grey"
+    GRADIENT = "gradient"
+    LOG_DERIVATIVES = "log"
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """All solver parameters.
+
+    Defaults match the reference CLI defaults (reference: src/main.cpp:65-84):
+    50 warp levels, scale 0.9, 40 outer x 5 inner iterations, alpha=35,
+    e_smooth=e_data=0.001, median radius 5 (window side), sigma=1.5,
+    grey constancy.
+    """
+
+    warp_levels_count: int = 50
+    warp_scale_factor: float = 0.9
+    outer_iterations_count: int = 40
+    inner_iterations_count: int = 5
+    equation_alpha: float = 35.0
+    equation_smoothness: float = 0.001
+    equation_data: float = 0.001
+    median_radius: int = 5  # window SIDE length (3/5/7 in the reference)
+    gaussian_sigma: float = 1.5
+    data_constancy: DataConstancy = DataConstancy.GREY
+
+    # Reference-quirk emulation: the gradient/log solve kernels stage first
+    # derivatives in shared memory with REPLICATED halos at 16x8 CUDA block
+    # borders (reference: src/kernels/solve_2d.cu:813-841), and the log
+    # variant additionally loads the block's own edge column into its halo
+    # (reference: src/kernels/solve_2d.cu:448,462). When True, emulate that
+    # blocking exactly (for bit-parity studies); when False (default) use the
+    # mathematically clean global neighbors.
+    grad_block_parity: bool = False
+
+    def __post_init__(self):
+        if self.warp_scale_factor <= 0.0 or self.warp_scale_factor >= 1.0:
+            raise ValueError(
+                f"warp_scale_factor must be in (0, 1), got {self.warp_scale_factor}"
+            )
+        if self.warp_levels_count < 1:
+            raise ValueError("warp_levels_count must be >= 1")
+        if self.median_radius > 7:
+            # Same limit as the reference host wrapper
+            # (reference: src/cuda_operations/2d/cuda_operation_median_2d.cpp:152-154).
+            raise ValueError("median_radius > 7 is not supported")
+
+
+@dataclasses.dataclass(frozen=True)
+class IOConfig:
+    """Input/output file description (paths, size, filenames)."""
+
+    width: int = 584
+    height: int = 388
+    input_path: str = "./data/"
+    output_path: str = "./data/output/"
+    file_name1: str = "rub1.raw"
+    file_name2: str = "rub2.raw"
+    counter: str = ""
+    press_key: bool = False  # parsed-but-ignored in the reference too
+
+
+def load_settings_xml(path: str) -> tuple[FlowConfig, IOConfig]:
+    """Parse a reference-format ``settings.xml``.
+
+    Field mapping follows the reference parser exactly
+    (reference: src/utils/settings.cpp:93-137): ``Input/Path@inputPath``,
+    ``Input/Mode@Nx,Ny``, ``Input/Mode/Files@file1,file2``,
+    ``Parameters/Method@key``, ``Parameters/Solver/Iterations@inner,outer``,
+    ``Parameters/Solver/Warping@levels,scaling,medianRadius``,
+    ``Parameters/Solver/Model@sigma,alpha,e_smooth,e_data``,
+    ``Output/Path@outputPath``.
+    """
+    root = ET.parse(path).getroot()
+
+    def el(xpath: str) -> ET.Element:
+        node = root.find(xpath)
+        if node is None:
+            raise ValueError(f"settings file {path!r} missing element {xpath!r}")
+        return node
+
+    mode = el("Input/Mode")
+    files = el("Input/Mode/Files")
+    iters = el("Parameters/Solver/Iterations")
+    warping = el("Parameters/Solver/Warping")
+    model = el("Parameters/Solver/Model")
+
+    flow = FlowConfig(
+        warp_levels_count=int(warping.get("levels")),
+        warp_scale_factor=float(warping.get("scaling")),
+        outer_iterations_count=int(iters.get("outer")),
+        inner_iterations_count=int(iters.get("inner")),
+        equation_alpha=float(model.get("alpha")),
+        equation_smoothness=float(model.get("e_smooth")),
+        equation_data=float(model.get("e_data")),
+        median_radius=int(warping.get("medianRadius")),
+        gaussian_sigma=float(model.get("sigma")),
+    )
+    io = IOConfig(
+        width=int(mode.get("Nx")),
+        height=int(mode.get("Ny")),
+        input_path=el("Input/Path").get("inputPath"),
+        output_path=el("Output/Path").get("outputPath"),
+        file_name1=files.get("file1"),
+        file_name2=files.get("file2"),
+        press_key=bool(int(el("Parameters/Method").get("key", "0"))),
+    )
+    return flow, io

@@ -1,0 +1,118 @@
+"""The coarse-to-fine optical-flow driver (public API).
+
+TPU execution contract, preserved from the reference
+(reference: src/optical_flow/optical_flow_2d.cpp:214-215,543-545):
+upload the two frames once, run every pyramid level on-device, download the
+final flow once. Each level is one jitted XLA program
+(tpuflow.solver.level); the Python loop here only sequences level programs
+— there are no host syncs inside any hot loop.
+
+Equivalent of OpticalFlow2D::ComputeFlow
+(reference: src/optical_flow/optical_flow_2d.cpp:142-569), minus its
+inefficiencies (per-sweep stream sync, per-launch tensor recompute).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.config import FlowConfig
+from tpuflow.ops.gaussian import gaussian_smooth
+from tpuflow.pyramid import LevelSpec, level_schedule
+from tpuflow.solver.level import compiled_level_step
+
+
+@dataclasses.dataclass
+class LevelTrace:
+    """Per-level timing/observability record (structured replacement for the
+    reference's printf progress output,
+    reference: optical_flow_2d.cpp:274-275)."""
+
+    level: int
+    width: int
+    height: int
+    seconds: float
+
+
+@dataclasses.dataclass
+class FlowResult:
+    u: jax.Array
+    v: jax.Array
+    seconds: float
+    levels: List[LevelTrace]
+
+    @property
+    def megapixels_per_second(self) -> float:
+        h, w = self.u.shape
+        return (w * h) / self.seconds / 1e6
+
+
+def compute_flow(
+    frame_0,
+    frame_1,
+    cfg: Optional[FlowConfig] = None,
+    *,
+    collect_trace: bool = False,
+) -> FlowResult:
+    """Compute dense 2D optical flow from frame_0 to frame_1.
+
+    Frames are (H, W) arrays (numpy or jax), any real dtype; computation is
+    float32. The returned flow is in original-pixel units, like the
+    reference.
+    """
+    cfg = cfg or FlowConfig()
+    f0 = jnp.asarray(frame_0, dtype=jnp.float32)
+    f1 = jnp.asarray(frame_1, dtype=jnp.float32)
+    if f0.ndim != 2 or f0.shape != f1.shape:
+        raise ValueError(f"expected two equal (H, W) frames, got {f0.shape} {f1.shape}")
+    orig_h, orig_w = f0.shape
+
+    specs = level_schedule(orig_w, orig_h, cfg.warp_levels_count, cfg.warp_scale_factor)
+
+    smooth = _compiled_smooth(cfg.gaussian_sigma)
+
+    # NOTE: the first call for a given (shape, config) pays XLA compilation;
+    # steady-state timing starts from the second call (benchmarks warm up
+    # with one throwaway run).
+    t0 = time.perf_counter()
+    f0s = smooth(f0)
+    f1s = smooth(f1)
+
+    first = specs[0]
+    u = jnp.zeros((first.height, first.width), dtype=jnp.float32)
+    v = jnp.zeros_like(u)
+
+    traces: List[LevelTrace] = []
+    for spec in specs:
+        lt0 = time.perf_counter() if collect_trace else 0.0
+        step = compiled_level_step(spec, cfg, u.shape)
+        u, v = step(f0s, f1s, u, v)
+        if collect_trace:
+            jax.block_until_ready(u)
+            traces.append(
+                LevelTrace(spec.level, spec.width, spec.height,
+                           time.perf_counter() - lt0)
+            )
+    jax.block_until_ready((u, v))
+    seconds = time.perf_counter() - t0
+
+    return FlowResult(u=u, v=v, seconds=seconds, levels=traces)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_smooth(sigma: float):
+    return jax.jit(lambda a: gaussian_smooth(a, sigma))
+
+
+def endpoint_error(u_a, v_a, u_b, v_b) -> float:
+    """Mean endpoint error between two flow fields (the parity metric)."""
+    u_a, v_a = np.asarray(u_a), np.asarray(v_a)
+    u_b, v_b = np.asarray(u_b), np.asarray(v_b)
+    return float(np.mean(np.sqrt((u_a - u_b) ** 2 + (v_a - v_b) ** 2)))
