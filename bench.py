@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: full coarse-to-fine solve on the reference workload.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+Workload: the reference's default — rub pair (584x388 u8, 0.227 Mpix) with
+the default schedule (<=46 levels x 40 outer x 5 inner + medians)
+(reference: src/main.cpp:65-87). The reference publishes no numbers
+(BASELINE.md), so ``vs_baseline`` is measured against the self-defined
+1.0 Mpix/s/chip baseline recorded in BASELINE.md.
+
+Timing is steady-state: one warm-up run (pays XLA compilation), then the
+median of N timed runs, each fenced by host materialization of the flow
+(async dispatch backends return from block_until_ready early).
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+# Persistent compilation cache cuts the per-process compile cost on reruns.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuflow_jit_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SELF_BASELINE_MPIX_S = 1.0  # self-defined chip baseline, see BASELINE.md
+
+RUB_DIR_CANDIDATES = (
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "data"),
+    "/root/reference/data",
+)
+
+
+def load_frames():
+    from tpuflow.io import read_raw_u8
+
+    for d in RUB_DIR_CANDIDATES:
+        p1, p2 = os.path.join(d, "rub1.raw"), os.path.join(d, "rub2.raw")
+        if os.path.exists(p1) and os.path.exists(p2):
+            return read_raw_u8(p1, 584, 388), read_raw_u8(p2, 584, 388)
+    # Fallback: synthetic frames with the same shape/statistics.
+    rng = np.random.default_rng(0)
+    base = rng.random((388, 584), dtype=np.float32) * 255.0
+    ys, xs = np.mgrid[0:388, 0:584].astype(np.float32)
+    blob = 80.0 * np.exp(-((ys - 194) ** 2 + (xs - 292) ** 2) / (2 * 40.0**2))
+    return (base * 0.3 + blob).astype(np.float32), (
+        base * 0.3 + np.roll(blob, (2, 3), axis=(0, 1))
+    ).astype(np.float32)
+
+
+def main():
+    import jax
+
+    from tpuflow import FlowConfig, compute_flow
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    f0, f1 = load_frames()
+    h, w = f0.shape
+    cfg = FlowConfig()
+
+    compute_flow(f0, f1, cfg)  # warm-up: compiles every level program
+
+    runs = int(os.environ.get("TPUFLOW_BENCH_RUNS", "5"))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        res = compute_flow(f0, f1, cfg)
+        times.append(time.perf_counter() - t0)
+
+    assert np.isfinite(res.u).all() and np.isfinite(res.v).all()
+    seconds = statistics.median(times)
+    mpix_s = (w * h) / seconds / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "rub-pair full coarse-to-fine solve (584x388, default schedule)",
+                "value": round(mpix_s, 4),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / SELF_BASELINE_MPIX_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

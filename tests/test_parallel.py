@@ -1,0 +1,70 @@
+"""Sharded batched pipeline vs the single-device solver, on the 8-device
+virtual CPU mesh (SURVEY.md §4 item 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpuflow.config import FlowConfig
+from tpuflow.parallel import compute_flow_batched, make_mesh
+from tpuflow.solver.flow2d import compute_flow, endpoint_error
+
+
+def blob(h, w, cy, cx, sigma=4.0):
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    return (200.0 * np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * sigma**2))).astype(
+        np.float32
+    )
+
+
+CFG = FlowConfig(
+    warp_levels_count=3,
+    warp_scale_factor=0.7,
+    outer_iterations_count=4,
+    inner_iterations_count=2,
+    median_radius=3,
+    gaussian_sigma=0.8,
+)
+
+
+def make_batch(b, h, w):
+    f0 = np.stack([blob(h, w, h / 2 + i, w / 2 - i) for i in range(b)])
+    f1 = np.stack([blob(h, w, h / 2 + i + 0.8, w / 2 - i + 1.2) for i in range(b)])
+    return f0, f1
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == jax.device_count() == 8
+    assert set(mesh.axis_names) == {"data", "y"}
+    assert mesh.shape["data"] == 2 and mesh.shape["y"] == 4
+
+    mesh1 = make_mesh((1, 8))
+    assert mesh1.shape["y"] == 8
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_batched_matches_single_device():
+    # Rows are shardable (h=128 >= 4 shards * 16 rows) on the (2, 4) mesh.
+    b, h, w = 4, 128, 96
+    f0, f1 = make_batch(b, h, w)
+    mesh = make_mesh((2, 4))
+    U, V = compute_flow_batched(f0, f1, CFG, mesh)
+    assert U.shape == (b, h, w)
+    for i in range(b):
+        res = compute_flow(f0[i], f1[i], CFG)
+        epe = endpoint_error(U[i], V[i], res.u, res.v)
+        assert epe < 1e-5, f"pair {i}: sharded vs single-device EPE {epe}"
+
+
+def test_batched_small_images_replicate_spatially():
+    # h=24 < 4*16: spatial axis must fall back to replication and still match.
+    b, h, w = 2, 24, 32
+    f0, f1 = make_batch(b, h, w)
+    mesh = make_mesh((2, 4))
+    U, V = compute_flow_batched(f0, f1, CFG, mesh)
+    for i in range(b):
+        res = compute_flow(f0[i], f1[i], CFG)
+        assert endpoint_error(U[i], V[i], res.u, res.v) < 1e-5
