@@ -15,6 +15,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # native C++ fast path (tpuflow/_native, double math like the reference)
+    from tpuflow._native import codec as _codec
+except Exception:  # pragma: no cover - absence is a supported configuration
+    _codec = None
+
 # Six angular segments of the color circle, each a linear interpolation
 # between two RGB anchors over [start, start + span) of the halved phase.
 # (reference: src/utils/io_utils.cpp:168-216)
@@ -31,6 +36,8 @@ _SEGMENTS = (
 
 def flow_to_rgb(u: np.ndarray, v: np.ndarray, flow_max_scale: float = 10.0) -> np.ndarray:
     """Convert a flow field to an (H, W, 3) uint8 color-circle image."""
+    if _codec is not None:
+        return _codec.flow_to_rgb(np.asarray(u), np.asarray(v), float(flow_max_scale))
     x = np.asarray(u, dtype=np.float64) / flow_max_scale
     y = np.asarray(v, dtype=np.float64) / flow_max_scale
 

@@ -28,21 +28,26 @@ from tpuflow.config import DataConstancy
 
 
 def _shifts(a: jax.Array):
-    """(center, x+1, x-1, y+1, y-1) with reflect boundary."""
-    p = jnp.pad(a, 1, mode="reflect")
-    return (
-        p[1:-1, 1:-1],
-        p[1:-1, 2:],
-        p[1:-1, :-2],
-        p[2:, 1:-1],
-        p[:-2, 1:-1],
-    )
+    """(center, x+1, x-1, y+1, y-1) with the mirror boundary of the
+    reference halo loads (x<0 -> -x, x>=w -> 2w-x-2, i.e. 'reflect').
+
+    Implemented as slice+concat (not jnp.pad) so the same code lowers both
+    in XLA and inside Pallas TPU kernels.
+    """
+    xp = jnp.concatenate([a[:, 1:], a[:, -2:-1]], axis=1)
+    xm = jnp.concatenate([a[:, 1:2], a[:, :-1]], axis=1)
+    yp = jnp.concatenate([a[1:, :], a[-2:-1, :]], axis=0)
+    ym = jnp.concatenate([a[1:2, :], a[:-1, :]], axis=0)
+    return a, xp, xm, yp, ym
 
 
 def _shifts_edge(a: jax.Array):
     """(x+1, x-1, y+1, y-1) with replicate boundary (derivative fields)."""
-    p = jnp.pad(a, 1, mode="edge")
-    return p[1:-1, 2:], p[1:-1, :-2], p[2:, 1:-1], p[:-2, 1:-1]
+    xp = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    xm = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+    yp = jnp.concatenate([a[1:, :], a[-1:, :]], axis=0)
+    ym = jnp.concatenate([a[:1, :], a[:-1, :]], axis=0)
+    return xp, xm, yp, ym
 
 
 def _grey_derivatives(f0: jax.Array, f1: jax.Array, hx: float, hy: float):
@@ -154,6 +159,126 @@ def _motion_tensor(
         fx, fy, ft = _grey_derivatives(log0, log1, hx, hy)
         return _second_order_tensor(fx, fy, ft, hx, hy)
     raise ValueError(f"unknown data constancy {constancy}")
+
+
+# ---------------------------------------------------------------------------
+# Padded formulation — the fast XLA path used by the relaxation scan.
+#
+# The unpadded API above materializes 4 shifted copies per field per sweep
+# (the concats become separate XLA fusions). Maintaining each field as an
+# (h+2, w+2) mirror-padded array turns every shift into a pure slice of ONE
+# buffer, cutting per-sweep HBM traffic several-fold. Values are identical:
+# slices of a reflect-padded array ARE the mirror-boundary shifts.
+# ---------------------------------------------------------------------------
+
+
+def pad_mirror(a: jax.Array) -> jax.Array:
+    """(h, w) -> (h+2, w+2) with the reference mirror boundary."""
+    return jnp.pad(a, 1, mode="reflect")
+
+
+def _pshifts(p: jax.Array):
+    """center, x+1, x-1, y+1, y-1 as slices of a padded array."""
+    return (
+        p[1:-1, 1:-1],
+        p[1:-1, 2:],
+        p[1:-1, :-2],
+        p[2:, 1:-1],
+        p[:-2, 1:-1],
+    )
+
+
+def _grey_derivatives_p(f0p, f1p, hx: float, hy: float):
+    f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _pshifts(f0p)
+    f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _pshifts(f1p)
+    fx = (f0_xp - f0_xm + f1_xp - f1_xm) / jnp.float32(4.0 * hx)
+    fy = (f0_yp - f0_ym + f1_yp - f1_ym) / jnp.float32(4.0 * hy)
+    ft = f1_c - f0_c
+    return fx, fy, ft
+
+
+def compute_phi_ksi_padded(
+    f0p, f1p, up, vp, dup, dvp, hx, hy, e_smooth, e_data
+) -> Tuple[jax.Array, jax.Array]:
+    """compute_phi_ksi on mirror-padded inputs; returns UNPADDED phi, ksi."""
+    _, u_xp, u_xm, u_yp, u_ym = _pshifts(up)
+    _, v_xp, v_xm, v_yp, v_ym = _pshifts(vp)
+    du_c, du_xp, du_xm, du_yp, du_ym = _pshifts(dup)
+    dv_c, dv_xp, dv_xm, dv_yp, dv_ym = _pshifts(dvp)
+
+    dux = (u_xp - u_xm + du_xp - du_xm) / jnp.float32(2.0 * hx)
+    duy = (u_yp - u_ym + du_yp - du_ym) / jnp.float32(2.0 * hy)
+    dvx = (v_xp - v_xm + dv_xp - dv_xm) / jnp.float32(2.0 * hx)
+    dvy = (v_yp - v_ym + dv_yp - dv_ym) / jnp.float32(2.0 * hy)
+
+    e_s2 = jnp.float32(e_smooth) * jnp.float32(e_smooth)
+    phi = 1.0 / (2.0 * jnp.sqrt(dux * dux + duy * duy + dvx * dvx + dvy * dvy + e_s2))
+
+    fx, fy, ft = _grey_derivatives_p(f0p, f1p, hx, hy)
+    J11, J22, J33 = fx * fx, fy * fy, ft * ft
+    J12, J13, J23 = fx * fy, fx * ft, fy * ft
+
+    s = (
+        (J11 * du_c + J12 * dv_c + J13) * du_c
+        + (J12 * du_c + J22 * dv_c + J23) * dv_c
+        + (J13 * du_c + J23 * dv_c + J33)
+    )
+    s = jnp.maximum(s, 0.0)
+    e_d2 = jnp.float32(e_data) * jnp.float32(e_data)
+    ksi = 1.0 / (2.0 * jnp.sqrt(s + e_d2))
+    return phi, ksi
+
+
+def _motion_tensor_p(f0p, f1p, hx: float, hy: float, constancy: DataConstancy):
+    if constancy == DataConstancy.GREY:
+        fx, fy, ft = _grey_derivatives_p(f0p, f1p, hx, hy)
+        return fx * fx, fy * fy, fx * fy, fx * ft, fy * ft
+    if constancy == DataConstancy.GRADIENT:
+        fx, fy, ft = _grey_derivatives_p(f0p, f1p, hx, hy)
+        return _second_order_tensor(fx, fy, ft, hx, hy)
+    if constancy == DataConstancy.LOG_DERIVATIVES:
+        fx, fy, ft = _grey_derivatives_p(jnp.log1p(f0p), jnp.log1p(f1p), hx, hy)
+        return _second_order_tensor(fx, fy, ft, hx, hy)
+    raise ValueError(f"unknown data constancy {constancy}")
+
+
+def solve_sweep_padded(
+    f0p, f1p, up, vp, dup, dvp, phip, ksi, hx, hy, alpha,
+    constancy: DataConstancy = DataConstancy.GREY,
+) -> Tuple[jax.Array, jax.Array]:
+    """One Jacobi sweep on mirror-padded fields; returns UNPADDED du', dv'."""
+    J11, J22, J12, J13, J23 = _motion_tensor_p(f0p, f1p, hx, hy, constancy)
+    h, w = ksi.shape
+    xp, xm, yp, ym = _edge_weights(h, w, hx, hy, alpha)
+
+    phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = _pshifts(phip)
+    u_c, u_xp, u_xm, u_yp, u_ym = _pshifts(up)
+    v_c, v_xp, v_xm, v_yp, v_ym = _pshifts(vp)
+    du_c, du_xp, du_xm, du_yp, du_ym = _pshifts(dup)
+    dv_c, dv_xp, dv_xm, dv_yp, dv_ym = _pshifts(dvp)
+
+    phi_xp = (phi_xp_n + phi_c) * 0.5
+    phi_xm = (phi_xm_n + phi_c) * 0.5
+    phi_yp = (phi_yp_n + phi_c) * 0.5
+    phi_ym = (phi_ym_n + phi_c) * 0.5
+
+    sumH = xp * phi_xp + xm * phi_xm + yp * phi_yp + ym * phi_ym
+    sumU = (
+        phi_xp * xp * (u_xp + du_xp - u_c)
+        + phi_xm * xm * (u_xm + du_xm - u_c)
+        + phi_yp * yp * (u_yp + du_yp - u_c)
+        + phi_ym * ym * (u_ym + du_ym - u_c)
+    )
+    sumV = (
+        phi_xp * xp * (v_xp + dv_xp - v_c)
+        + phi_xm * xm * (v_xm + dv_xm - v_c)
+        + phi_yp * yp * (v_yp + dv_yp - v_c)
+        + phi_ym * ym * (v_ym + dv_ym - v_c)
+    )
+
+    result_du = (ksi * (-J13 - J12 * dv_c) + sumU) / (ksi * J11 + sumH)
+    result_dv = (ksi * (-J23 - J12 * result_du) + sumV) / (ksi * J22 + sumH)
+    return result_du, result_dv
 
 
 def solve_sweep(

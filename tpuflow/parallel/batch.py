@@ -53,9 +53,11 @@ def _compiled_batched_level(
     out_spec = _spatial_spec(spec.height, mesh, data_axis, y_axis)
 
     def vstep(a, b, u, v):
-        un, vn = jax.vmap(lambda a_, b_, u_, v_: level_step(a_, b_, u_, v_, spec, cfg))(
-            a, b, u, v
-        )
+        # use_pallas=False: under vmap + GSPMD the full-block Pallas kernel
+        # would defeat spatial partitioning; the XLA path partitions cleanly.
+        un, vn = jax.vmap(
+            lambda a_, b_, u_, v_: level_step(a_, b_, u_, v_, spec, cfg, use_pallas=False)
+        )(a, b, u, v)
         # Pin the level output layout; everything upstream is GSPMD-propagated
         # (intermediate level sizes are rarely divisible by the mesh, so the
         # partitioner is free to choose halo-padded layouts internally).

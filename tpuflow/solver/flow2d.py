@@ -102,6 +102,8 @@ def compute_flow(
             u=u_host, v=v_host, seconds=time.perf_counter() - t0, levels=[]
         )
 
+    warmup((orig_h, orig_w), cfg)
+
     specs = level_schedule(orig_w, orig_h, cfg.warp_levels_count, cfg.warp_scale_factor)
     smooth = _compiled_smooth(cfg.gaussian_sigma)
 
@@ -153,6 +155,42 @@ def _compiled_pipeline(orig_shape: tuple, cfg: FlowConfig):
 @functools.lru_cache(maxsize=64)
 def _compiled_smooth(sigma: float):
     return jax.jit(lambda a: gaussian_smooth(a, sigma))
+
+
+_WARMED: set = set()
+
+
+def warmup(orig_shape: Tuple[int, int], cfg: FlowConfig, max_workers: int = 16) -> float:
+    """Concurrently AOT-compile every level program for a workload shape.
+
+    XLA compilation of the ~46 per-level programs is embarrassingly parallel
+    (and on remote-compile backends the server parallelizes too): a thread
+    pool cuts cold-start from minutes to tens of seconds. Returns wall
+    seconds spent. Idempotent per (shape, cfg) within the process.
+    """
+    key = (orig_shape, cfg)
+    if key in _WARMED:
+        return 0.0
+    t0 = time.perf_counter()
+    orig_h, orig_w = orig_shape
+    specs = level_schedule(orig_w, orig_h, cfg.warp_levels_count, cfg.warp_scale_factor)
+    frame = jax.ShapeDtypeStruct((orig_h, orig_w), jnp.float32)
+
+    def compile_level(i: int):
+        spec = specs[i]
+        prev = specs[i - 1] if i > 0 else spec
+        prev_shape = (prev.height, prev.width)
+        flow = jax.ShapeDtypeStruct(prev_shape, jnp.float32)
+        fn = compiled_level_step(spec, cfg, prev_shape)
+        fn.lower(frame, frame, flow, flow).compile()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(compile_level, range(len(specs))))
+    _compiled_smooth(cfg.gaussian_sigma).lower(frame).compile()
+    _WARMED.add(key)
+    return time.perf_counter() - t0
 
 
 def endpoint_error(u_a, v_a, u_b, v_b) -> float:
