@@ -104,10 +104,37 @@ def compute_flow(
 
     warmup((orig_h, orig_w), cfg)
 
+    t0 = time.perf_counter()
+    traces: List[LevelTrace] = []
+    u, v = compute_flow_async(f0, f1, cfg, _traces=traces if collect_trace else None)
+    u_host, v_host = np.asarray(u), np.asarray(v)
+    seconds = time.perf_counter() - t0
+
+    return FlowResult(u=u_host, v=v_host, seconds=seconds, levels=traces)
+
+
+def compute_flow_async(
+    frame_0,
+    frame_1,
+    cfg: Optional[FlowConfig] = None,
+    *,
+    _traces: Optional[List[LevelTrace]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Like compute_flow but returns DEVICE arrays without a host fence.
+
+    The streaming building block: submit many frame pairs back-to-back and
+    fence once — on networked dispatch paths each host materialization
+    costs a ~50+ ms round trip, so batch pipelines should stay on device.
+    """
+    cfg = cfg or FlowConfig()
+    f0 = jnp.asarray(frame_0, dtype=jnp.float32)
+    f1 = jnp.asarray(frame_1, dtype=jnp.float32)
+    orig_h, orig_w = f0.shape
+    warmup((orig_h, orig_w), cfg)
+
     specs = level_schedule(orig_w, orig_h, cfg.warp_levels_count, cfg.warp_scale_factor)
     smooth = _compiled_smooth(cfg.gaussian_sigma)
 
-    t0 = time.perf_counter()
     f0s = smooth(f0)
     f1s = smooth(f1)
 
@@ -115,21 +142,17 @@ def compute_flow(
     u = jnp.zeros((first.height, first.width), dtype=jnp.float32)
     v = jnp.zeros_like(u)
 
-    traces: List[LevelTrace] = []
     for spec in specs:
-        lt0 = time.perf_counter() if collect_trace else 0.0
+        lt0 = time.perf_counter() if _traces is not None else 0.0
         step = compiled_level_step(spec, cfg, u.shape)
         u, v = step(f0s, f1s, u, v)
-        if collect_trace:
+        if _traces is not None:
             np.asarray(u)  # host fence (see FlowResult docstring)
-            traces.append(
+            _traces.append(
                 LevelTrace(spec.level, spec.width, spec.height,
                            time.perf_counter() - lt0)
             )
-    u_host, v_host = np.asarray(u), np.asarray(v)
-    seconds = time.perf_counter() - t0
-
-    return FlowResult(u=u_host, v=v_host, seconds=seconds, levels=traces)
+    return u, v
 
 
 @functools.lru_cache(maxsize=64)
