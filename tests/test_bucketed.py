@@ -1,0 +1,94 @@
+"""Bucketed engine vs the per-shape engine (CPU mesh).
+
+The bucketed path must reproduce the per-shape solver inside the valid
+region — same mirror boundaries (via ghost maintenance), same constants
+(host-precomputed float32 scalars), same resample fractions (weights as
+arguments).
+"""
+
+import numpy as np
+import pytest
+
+from tpuflow.config import DataConstancy, FlowConfig
+from tpuflow.solver.bucketed import (
+    bucket_dims,
+    compute_flow_bucketed_async,
+    maintain_mirror2,
+)
+from tpuflow.solver.flow2d import compute_flow, endpoint_error
+
+
+def blob(h, w, cy, cx, sigma=5.0):
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    return (200.0 * np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * sigma**2))).astype(
+        np.float32
+    )
+
+
+def test_bucket_dims():
+    assert bucket_dims(584, 388) == (448, 640)
+    assert bucket_dims(4, 4) == (64, 128)
+    assert bucket_dims(120, 56) == (64, 128)
+    # slack guarantees ghost room
+    assert bucket_dims(128, 64) == (128, 256)
+
+
+def test_maintain_mirror2_matches_reflect():
+    rng = np.random.default_rng(0)
+    a = np.zeros((16, 128), np.float32)
+    h, w = 11, 100
+    a[:h, :w] = rng.random((h, w), dtype=np.float32)
+    out = np.asarray(maintain_mirror2(a, np.int32(w), np.int32(h)))
+    # ghost rows: row h == row h-2, row h+1 == row h-3 (reference 2h-r-2)
+    np.testing.assert_array_equal(out[h, :w], a[h - 2, :w])
+    np.testing.assert_array_equal(out[h + 1, :w], a[h - 3, :w])
+    np.testing.assert_array_equal(out[:h, w], a[:h, w - 2])
+    np.testing.assert_array_equal(out[:h, w + 1], a[:h, w - 3])
+    # ghost corner is the 2D reflection
+    assert out[h, w] == a[h - 2, w - 2]
+
+
+@pytest.mark.parametrize(
+    "h,w",
+    [
+        (40, 48),     # single bucket
+        (97, 130),    # odd sizes, two buckets in the schedule
+    ],
+)
+def test_bucketed_matches_per_shape(h, w):
+    f0 = blob(h, w, h / 2, w / 2) + blob(h, w, h / 4, w / 4, 3.0)
+    f1 = blob(h, w, h / 2 + 1.2, w / 2 - 0.7) + blob(h, w, h / 4 + 0.5, w / 4 + 0.9, 3.0)
+    cfg = FlowConfig(
+        warp_levels_count=4,
+        warp_scale_factor=0.6,
+        outer_iterations_count=5,
+        inner_iterations_count=3,
+        median_radius=5,
+        gaussian_sigma=1.0,
+    )
+    ref = compute_flow(f0, f1, cfg)
+    ub, vb = compute_flow_bucketed_async(f0, f1, cfg)
+    epe = endpoint_error(np.asarray(ub), np.asarray(vb), ref.u, ref.v)
+    assert epe < 5e-4, f"bucketed vs per-shape EPE {epe}"
+    assert np.isfinite(np.asarray(ub)).all()
+
+
+def test_bucketed_default_schedule_small():
+    # Full default iteration counts on a small frame: exercises many levels
+    # mapping to the same bucket program.
+    f0 = blob(52, 60, 26, 30)
+    f1 = blob(52, 60, 25.2, 31.1)
+    cfg = FlowConfig(median_radius=3)
+    ref = compute_flow(f0, f1, cfg)
+    ub, vb = compute_flow_bucketed_async(f0, f1, cfg)
+    epe = endpoint_error(np.asarray(ub), np.asarray(vb), ref.u, ref.v)
+    assert epe < 2e-3, f"bucketed vs per-shape EPE {epe}"
+
+
+def test_bucketed_rejects_non_grey():
+    with pytest.raises(NotImplementedError):
+        compute_flow_bucketed_async(
+            np.zeros((8, 8), np.float32),
+            np.zeros((8, 8), np.float32),
+            FlowConfig(data_constancy=DataConstancy.GRADIENT),
+        )

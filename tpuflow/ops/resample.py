@@ -57,6 +57,39 @@ def resample_weights(in_n: int, out_n: int) -> np.ndarray:
     return w
 
 
+def box_weights_dyn(out_bucket: int, in_bucket: int, out_n, in_n) -> jax.Array:
+    """Box-overlap weight matrix computed ON DEVICE with traced sizes.
+
+    Produces the same float32 fractions as `resample_weights` (transliterated
+    from resample_2d.cu:48-72: the j==0 / j==n-1 / single-cell rules applied
+    in the reference's override order), but (out_n, in_n) are runtime
+    scalars, so one compiled program serves every pyramid level — and no
+    per-level host->device weight upload is needed.
+
+    Rows >= out_n and cols >= in_n are zero (the bucketed ghost region).
+    """
+    out_f = out_n.astype(jnp.float32) if hasattr(out_n, "astype") else jnp.float32(out_n)
+    in_f = in_n.astype(jnp.float32) if hasattr(in_n, "astype") else jnp.float32(in_n)
+    delta = in_f / out_f
+    norm = out_f / in_f
+
+    of = jax.lax.broadcasted_iota(jnp.float32, (out_bucket, in_bucket), 0)
+    iif = jax.lax.broadcasted_iota(jnp.float32, (out_bucket, in_bucket), 1)
+
+    left_f = of * delta
+    right_f = (of + 1.0) * delta
+    left_i = jnp.floor(left_f)
+    right_i = jnp.minimum(in_f, jnp.ceil(right_f))
+
+    in_range = (iif >= left_i) & (iif <= right_i - 1.0)
+    frac = jnp.ones_like(of)
+    frac = jnp.where(iif == left_i, (left_i + 1.0) - left_f, frac)
+    frac = jnp.where(iif == right_i - 1.0, right_f - iif, frac)
+    frac = jnp.where(right_i - left_i == 1.0, delta, frac)
+
+    return jnp.where(in_range, frac * norm, 0.0)
+
+
 def resample(img: jax.Array, out_w: int, out_h: int) -> jax.Array:
     """Resample an (H, W) image to (out_h, out_w) via two MXU matmuls."""
     in_h, in_w = img.shape

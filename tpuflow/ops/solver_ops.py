@@ -162,6 +162,118 @@ def _motion_tensor(
 
 
 # ---------------------------------------------------------------------------
+# Dynamic-size (bucketed) formulation.
+#
+# Arrays live at a padded BUCKET shape; the valid region (ch, cw) and all
+# h-derived constants arrive as traced scalars, so ONE compiled program
+# serves every pyramid level that maps to the same bucket. Mirror
+# semantics at the valid edge are provided by ghost-row/col maintenance
+# (tpuflow.solver.bucketed.maintain_mirror2), so plain concat shifts give
+# reference-exact values inside the valid region.
+# ---------------------------------------------------------------------------
+
+
+def edge_weights_dyn(shape, cw, ch, alpha_hx2, alpha_hy2):
+    """Free-boundary neighbor weights with a traced valid region.
+
+    Same masks as _edge_weights (reference: solve_2d.cu:333-340) but the
+    image extent (cw, ch) and the alpha/h^2 constants are runtime scalars.
+    """
+    hb, wb = shape
+    xs = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+    xp = jnp.where(xs < cw - 1, alpha_hx2, 0.0)
+    xm = jnp.where(xs > 0, alpha_hx2, 0.0)
+    yp = jnp.where(ys < ch - 1, alpha_hy2, 0.0)
+    ym = jnp.where(ys > 0, alpha_hy2, 0.0)
+    return xp, xm, yp, ym
+
+
+def compute_phi_ksi_dyn(f0, f1, u, v, du, dv, div2hx, div2hy, div4hx, div4hy,
+                        e_s2, e_d2):
+    """compute_phi_ksi with traced h-spacing constants (bucketed path)."""
+    _, u_xp, u_xm, u_yp, u_ym = _shifts(u)
+    _, v_xp, v_xm, v_yp, v_ym = _shifts(v)
+    du_c, du_xp, du_xm, du_yp, du_ym = _shifts(du)
+    dv_c, dv_xp, dv_xm, dv_yp, dv_ym = _shifts(dv)
+
+    dux = (u_xp - u_xm + du_xp - du_xm) / div2hx
+    duy = (u_yp - u_ym + du_yp - du_ym) / div2hy
+    dvx = (v_xp - v_xm + dv_xp - dv_xm) / div2hx
+    dvy = (v_yp - v_ym + dv_yp - dv_ym) / div2hy
+
+    phi = 1.0 / (2.0 * jnp.sqrt(dux * dux + duy * duy + dvx * dvx + dvy * dvy + e_s2))
+
+    f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _shifts(f0)
+    f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _shifts(f1)
+    fx = (f0_xp - f0_xm + f1_xp - f1_xm) / div4hx
+    fy = (f0_yp - f0_ym + f1_yp - f1_ym) / div4hy
+    ft = f1_c - f0_c
+
+    J11, J22, J33 = fx * fx, fy * fy, ft * ft
+    J12, J13, J23 = fx * fy, fx * ft, fy * ft
+    s = (
+        (J11 * du_c + J12 * dv_c + J13) * du_c
+        + (J12 * du_c + J22 * dv_c + J23) * dv_c
+        + (J13 * du_c + J23 * dv_c + J33)
+    )
+    s = jnp.maximum(s, 0.0)
+    ksi = 1.0 / (2.0 * jnp.sqrt(s + e_d2))
+    return phi, ksi
+
+
+def solve_sweep_dyn(f0, f1, u, v, du, dv, phi, ksi, cw, ch,
+                    div4hx, div4hy, alpha_hx2, alpha_hy2,
+                    constancy: DataConstancy = DataConstancy.GREY):
+    """One Jacobi sweep with traced valid region and constants."""
+    if constancy == DataConstancy.GREY:
+        pass
+    elif constancy in (DataConstancy.GRADIENT, DataConstancy.LOG_DERIVATIVES):
+        raise NotImplementedError(
+            "bucketed gradient/log sweeps land with the dyn second-order "
+            "tensor; use the per-shape path"
+        )
+    f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _shifts(f0)
+    f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _shifts(f1)
+    fx = (f0_xp - f0_xm + f1_xp - f1_xm) / div4hx
+    fy = (f0_yp - f0_ym + f1_yp - f1_ym) / div4hy
+    ft = f1_c - f0_c
+    J11, J22 = fx * fx, fy * fy
+    J12, J13, J23 = fx * fy, fx * ft, fy * ft
+
+    xp, xm, yp, ym = edge_weights_dyn(u.shape, cw, ch, alpha_hx2, alpha_hy2)
+
+    phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = _shifts(phi)
+    u_c, u_xp, u_xm, u_yp, u_ym = _shifts(u)
+    v_c, v_xp, v_xm, v_yp, v_ym = _shifts(v)
+    du_c, du_xp, du_xm, du_yp, du_ym = _shifts(du)
+    dv_c, dv_xp, dv_xm, dv_yp, dv_ym = _shifts(dv)
+
+    phi_xp = (phi_xp_n + phi_c) * 0.5
+    phi_xm = (phi_xm_n + phi_c) * 0.5
+    phi_yp = (phi_yp_n + phi_c) * 0.5
+    phi_ym = (phi_ym_n + phi_c) * 0.5
+
+    sumH = xp * phi_xp + xm * phi_xm + yp * phi_yp + ym * phi_ym
+    sumU = (
+        phi_xp * xp * (u_xp + du_xp - u_c)
+        + phi_xm * xm * (u_xm + du_xm - u_c)
+        + phi_yp * yp * (u_yp + du_yp - u_c)
+        + phi_ym * ym * (u_ym + du_ym - u_c)
+    )
+    sumV = (
+        phi_xp * xp * (v_xp + dv_xp - v_c)
+        + phi_xm * xm * (v_xm + dv_xm - v_c)
+        + phi_yp * yp * (v_yp + dv_yp - v_c)
+        + phi_ym * ym * (v_ym + dv_ym - v_c)
+    )
+
+    result_du = (ksi * (-J13 - J12 * dv_c) + sumU) / (ksi * J11 + sumH)
+    result_dv = (ksi * (-J23 - J12 * result_du) + sumV) / (ksi * J22 + sumH)
+    return result_du, result_dv
+
+
+# ---------------------------------------------------------------------------
 # Padded formulation — the fast XLA path used by the relaxation scan.
 #
 # The unpadded API above materializes 4 shifted copies per field per sweep

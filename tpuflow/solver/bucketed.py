@@ -1,0 +1,374 @@
+"""Bucketed coarse-to-fine engine: one compiled program per bucket shape.
+
+The per-shape engine (tpuflow.solver.level) compiles ~46 XLA programs for
+the default schedule — one per pyramid level shape. On remote-compile
+backends each compile request carries ~60 s of fixed cost, so cold start is
+minutes. This engine quantizes level shapes to BUCKETS and passes the valid
+extent plus every h-derived constant as runtime scalars, so the default
+584x388 schedule needs only ~10 programs (plus presmooth/pad), and any
+workload reuses programs across levels and across nearby image sizes.
+
+Design:
+  * bucket dims: Wb = ceil((cw+8)/128)*128, Hb = ceil((ch+8)/64)*64 — lane
+    padding is free (tiles are 128 wide anyway) and the +8 slack guarantees
+    room for ghost mirror rows/cols;
+  * mirror boundary at the VALID edge is provided by ghost maintenance:
+    after every field update, rows [ch, ch+2) := mirror rows and cols
+    [cw, cw+2) := mirror cols (radius 2 covers the median window), so the
+    static concat shifts of tpuflow.ops.solver_ops produce reference-exact
+    values inside the valid region;
+  * box-resample weight matrices are computed host-side per level
+    (tpuflow.ops.resample.resample_weights — exactly the reference
+    fractions) and passed as zero-embedded (bucket, bucket) ARGUMENTS, so
+    the resample stays two MXU matmuls with no per-level recompilation;
+  * the flow field is carried between levels at the TOP bucket shape, so a
+    program's signature depends only on its own bucket.
+
+Numerics inside the valid region are identical to the per-shape engine
+(same expression order, host-precomputed float32 constants passed as
+scalars); tests pin bucketed vs per-shape on full pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpuflow.config import DataConstancy, FlowConfig
+from tpuflow.ops.gaussian import gaussian_smooth
+from tpuflow.ops.median import median
+from tpuflow.ops.resample import box_weights_dyn
+from tpuflow.ops.solver_ops import (
+    compute_phi_ksi_dyn,
+    edge_weights_dyn,
+    solve_sweep_dyn,
+)
+from tpuflow.pyramid import level_schedule
+
+ROW_Q, COL_Q, SLACK = 64, 128, 8
+
+
+def bucket_dims(cw: int, ch: int) -> Tuple[int, int]:
+    """(Hb, Wb) bucket for a (cw, ch) level."""
+    hb = -(-(ch + SLACK) // ROW_Q) * ROW_Q
+    wb = -(-(cw + SLACK) // COL_Q) * COL_Q
+    return hb, wb
+
+
+def maintain_mirror2(a: jax.Array, cw, ch) -> jax.Array:
+    """Write mirror ghost rows [ch, ch+2) and cols [cw, cw+2).
+
+    Row ch := row ch-2, row ch+1 := row ch-3 (the reference mirror index
+    2h-r-2); then the same for columns, so the ghost corner is the 2D
+    reflection. Requires ch+2 <= Hb and cw+2 <= Wb (bucket SLACK) and
+    ch, cw >= 3 (guaranteed: levels have min dim 4).
+    """
+    hb, wb = a.shape
+    rows = jax.lax.dynamic_slice(a, (ch - 3, 0), (2, wb))[::-1, :]
+    a = jax.lax.dynamic_update_slice(a, rows, (ch, 0))
+    cols = jax.lax.dynamic_slice(a, (0, cw - 3), (hb, 2))[:, ::-1]
+    a = jax.lax.dynamic_update_slice(a, cols, (0, cw))
+    return a
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelScalars:
+    """Host-precomputed per-level scalars, float32-rounded exactly like the
+    per-shape engine's baked constants (parity)."""
+
+    cw: np.int32
+    ch: np.int32
+    inv_hx: np.float32
+    inv_hy: np.float32
+    div2hx: np.float32
+    div2hy: np.float32
+    div4hx: np.float32
+    div4hy: np.float32
+    alpha_hx2: np.float32
+    alpha_hy2: np.float32
+    wlim: np.float32  # cw - 1 as float (warp bounds)
+    hlim: np.float32
+    cwf: np.float32  # resample target sizes (float)
+    chf: np.float32
+    w0f: np.float32  # full-res frame sizes (resample source)
+    h0f: np.float32
+    prev_cwf: np.float32  # previous level's valid flow extent
+    prev_chf: np.float32
+
+    @staticmethod
+    def make(
+        cw: int, ch: int, hx: float, hy: float, alpha: float,
+        w0: int, h0: int, prev_cw: int, prev_ch: int,
+    ) -> "LevelScalars":
+        F = np.float32
+        return LevelScalars(
+            cw=np.int32(cw),
+            ch=np.int32(ch),
+            inv_hx=F(1.0) / F(hx),
+            inv_hy=F(1.0) / F(hy),
+            div2hx=F(2.0 * hx),
+            div2hy=F(2.0 * hy),
+            div4hx=F(4.0 * hx),
+            div4hy=F(4.0 * hy),
+            alpha_hx2=F(float(alpha) / (float(hx) * float(hx))),
+            alpha_hy2=F(float(alpha) / (float(hy) * float(hy))),
+            wlim=F(cw - 1),
+            hlim=F(ch - 1),
+            cwf=F(cw),
+            chf=F(ch),
+            w0f=F(w0),
+            h0f=F(h0),
+            prev_cwf=F(prev_cw),
+            prev_chf=F(prev_ch),
+        )
+
+    def tree(self):
+        return tuple(getattr(self, f.name) for f in dataclasses.fields(self))
+
+
+def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
+    """Bilinear backward warp with traced valid extent
+    (reference: registration_2d.cu:48-72)."""
+    hb, wb = f0.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 0)
+    x_f = xs + u * inv_hx
+    y_f = ys + v * inv_hy
+
+    invalid = (
+        (x_f < 0.0)
+        | (x_f > wlim)
+        | (y_f < 0.0)
+        | (y_f > hlim)
+        | jnp.isnan(x_f)
+        | jnp.isnan(y_f)
+        | (xs > wlim)  # ghost region: copy f0 (discarded anyway)
+        | (ys > hlim)
+    )
+
+    safe_x = jnp.where(invalid, 0.0, x_f)
+    safe_y = jnp.where(invalid, 0.0, y_f)
+    x0 = jnp.floor(safe_x).astype(jnp.int32)
+    y0 = jnp.floor(safe_y).astype(jnp.int32)
+    dx = safe_x - x0.astype(jnp.float32)
+    dy = safe_y - y0.astype(jnp.float32)
+    x1 = jnp.minimum(cw - 1, x0 + 1)
+    y1 = jnp.minimum(ch - 1, y0 + 1)
+
+    flat = f1.reshape(-1)
+
+    def at(yy, xx):
+        return jnp.take(flat, yy * wb + xx, axis=0)
+
+    one = jnp.float32(1.0)
+    value = (
+        (one - dx) * (one - dy) * at(y0, x0)
+        + dx * (one - dy) * at(y0, x1)
+        + (one - dx) * dy * at(y1, x0)
+        + dx * dy * at(y1, x1)
+    )
+    return jnp.where(invalid, f0, value)
+
+
+def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
+    """outer x inner relaxation on bucket arrays with ghost maintenance."""
+    (cw, ch, _, _, div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2) = sc[:10]
+    F = np.float32
+    e_s2 = F(cfg.equation_smoothness) * F(cfg.equation_smoothness)
+    e_d2 = F(cfg.equation_data) * F(cfg.equation_data)
+
+    du0 = jnp.zeros_like(u)
+    dv0 = jnp.zeros_like(v)
+
+    def inner_step(carry, _):
+        du, dv, phi, ksi = carry
+        du_n, dv_n = solve_sweep_dyn(
+            f0_l, f1_w, u, v, du, dv, phi, ksi, cw, ch,
+            div4hx, div4hy, a_hx2, a_hy2, cfg.data_constancy,
+        )
+        du_n = maintain_mirror2(du_n, cw, ch)
+        dv_n = maintain_mirror2(dv_n, cw, ch)
+        return (du_n, dv_n, phi, ksi), None
+
+    def outer_step(carry, _):
+        du, dv = carry
+        phi, ksi = compute_phi_ksi_dyn(
+            f0_l, f1_w, u, v, du, dv, div2hx, div2hy, div4hx, div4hy, e_s2, e_d2
+        )
+        phi = maintain_mirror2(phi, cw, ch)
+        (du, dv, _, _), _ = jax.lax.scan(
+            inner_step, (du, dv, phi, ksi), None,
+            length=cfg.inner_iterations_count,
+        )
+        return (du, dv), None
+
+    (du, dv), _ = jax.lax.scan(
+        outer_step, (du0, dv0), None, length=cfg.outer_iterations_count
+    )
+    return du, dv
+
+
+def bucketed_level_step(
+    f0s, f1s,            # (H0b, W0b) bucket-padded full-res smoothed frames
+    u_prev, v_prev,      # (H0b, W0b) flow carried at the top bucket
+    scalars,             # LevelScalars.tree()
+    bucket: Tuple[int, int],
+    top_bucket: Tuple[int, int],
+    cfg: FlowConfig,
+):
+    """One pyramid level at a bucket shape; returns flow at the top bucket."""
+    (cw, ch, inv_hx, inv_hy, _d2x, _d2y, _d4x, _d4y, _ax, _ay, wlim, hlim,
+     cwf, chf, w0f, h0f, prev_cwf, prev_chf) = scalars
+    hb, wb = bucket
+    h0b, w0b = top_bucket
+
+    import jax.lax as lax
+
+    # Box-resample weights computed on device (exact reference fractions,
+    # tpuflow.ops.resample.box_weights_dyn) — no per-level uploads.
+    wy_f = box_weights_dyn(hb, h0b, chf, h0f)
+    wx_f = box_weights_dyn(wb, w0b, cwf, w0f)
+    wy_u = box_weights_dyn(hb, h0b, chf, prev_chf)
+    wx_u = box_weights_dyn(wb, w0b, cwf, prev_cwf)
+
+    # Frames, ALWAYS from full-res smoothed (reference: optical_flow_2d.cpp:283-304).
+    f0_l = jnp.matmul(wy_f, jnp.matmul(f0s, wx_f.T, precision=lax.Precision.HIGHEST),
+                      precision=lax.Precision.HIGHEST)
+    f1_l = jnp.matmul(wy_f, jnp.matmul(f1s, wx_f.T, precision=lax.Precision.HIGHEST),
+                      precision=lax.Precision.HIGHEST)
+    f0_l = maintain_mirror2(f0_l, cw, ch)
+    f1_l = maintain_mirror2(f1_l, cw, ch)
+
+    # Flow prolongation from the previous level (:315-340).
+    u = jnp.matmul(wy_u, jnp.matmul(u_prev, wx_u.T, precision=lax.Precision.HIGHEST),
+                   precision=lax.Precision.HIGHEST)
+    v = jnp.matmul(wy_u, jnp.matmul(v_prev, wx_u.T, precision=lax.Precision.HIGHEST),
+                   precision=lax.Precision.HIGHEST)
+    u = maintain_mirror2(u, cw, ch)
+    v = maintain_mirror2(v, cw, ch)
+
+    # Backward registration (:343-363).
+    f1_w = warp_dyn(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim)
+    f1_w = maintain_mirror2(f1_w, cw, ch)
+
+    du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg)
+
+    u = u + du
+    v = v + dv
+    u = median(u, cfg.median_radius)
+    v = median(v, cfg.median_radius)
+
+    # Re-embed into the top bucket for the next level.
+    u_out = jnp.zeros((h0b, w0b), jnp.float32).at[:hb, :wb].set(u)
+    v_out = jnp.zeros((h0b, w0b), jnp.float32).at[:hb, :wb].set(v)
+    return u_out, v_out
+
+
+@functools.lru_cache(maxsize=256)
+def compiled_bucketed_level(bucket: Tuple[int, int], top_bucket: Tuple[int, int],
+                            cfg: FlowConfig):
+    @jax.jit
+    def run(f0s, f1s, u_prev, v_prev, scalars):
+        return bucketed_level_step(
+            f0s, f1s, u_prev, v_prev, scalars, bucket, top_bucket, cfg,
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_smooth_pad(sigma: float, orig_shape: Tuple[int, int],
+                         top_bucket: Tuple[int, int]):
+    h0, w0 = orig_shape
+    h0b, w0b = top_bucket
+
+    @jax.jit
+    def run(a):
+        s = gaussian_smooth(a, sigma)
+        return jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(s)
+
+    return run
+
+
+def compute_flow_bucketed_async(frame_0, frame_1, cfg: FlowConfig = None):
+    """Full coarse-to-fine solve via bucketed programs; returns DEVICE
+    arrays at the original (H, W)."""
+    cfg = cfg or FlowConfig()
+    if cfg.data_constancy != DataConstancy.GREY:
+        raise NotImplementedError(
+            "bucketed engine currently supports grey constancy; "
+            "use compute_flow (per-shape engine) for gradient/log"
+        )
+    f0 = jnp.asarray(frame_0, dtype=jnp.float32)
+    f1 = jnp.asarray(frame_1, dtype=jnp.float32)
+    h0, w0 = f0.shape
+
+    specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
+    top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
+    h0b, w0b = top_bucket
+
+    smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
+    f0s = smooth(f0)
+    f1s = smooth(f1)
+
+    u = jnp.zeros((h0b, w0b), jnp.float32)
+    v = jnp.zeros_like(u)
+
+    prev_cw, prev_ch = specs[0].width, specs[0].height  # first level: identity flow
+    for spec in specs:
+        cw, ch = spec.width, spec.height
+        bucket = bucket_dims(cw, ch)
+        sc = LevelScalars.make(
+            cw, ch, spec.hx, spec.hy, cfg.equation_alpha, w0, h0, prev_cw, prev_ch
+        )
+        step = compiled_bucketed_level(bucket, top_bucket, cfg)
+        u, v = step(f0s, f1s, u, v, sc.tree())
+        prev_cw, prev_ch = cw, ch
+
+    return u[:h0, :w0], v[:h0, :w0]
+
+
+_WARMED: set = set()
+
+
+def warmup_bucketed(orig_shape: Tuple[int, int], cfg: FlowConfig,
+                    max_workers: int = 16) -> float:
+    """Concurrently AOT-compile the bucket programs for a workload shape.
+    Idempotent per (shape, cfg) within the process."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    key = (orig_shape, cfg)
+    if key in _WARMED:
+        return 0.0
+    _WARMED.add(key)
+    t0 = time.perf_counter()
+    h0, w0 = orig_shape
+    specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
+    top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
+    h0b, w0b = top_bucket
+    buckets = sorted({bucket_dims(s.width, s.height) for s in specs})
+
+    # Warm by CALLING with zero arguments: `.lower().compile()` does not
+    # populate the jit dispatch cache, so an AOT-only warmup still pays the
+    # full compile on the first real call (observed on the remote-compile
+    # backend: 16 s "warmup" followed by a 510 s first run).
+    zeros = jnp.zeros((h0b, w0b), jnp.float32)
+    sc = LevelScalars.make(4, 4, 1.0, 1.0, cfg.equation_alpha, w0, h0, 4, 4)
+
+    def compile_bucket(bucket):
+        fn = compiled_bucketed_level(bucket, top_bucket, cfg)
+        out = fn(zeros, zeros, zeros, zeros, sc.tree())
+        jax.block_until_ready(out)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(compile_bucket, buckets))
+    smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
+    jax.block_until_ready(smooth(jnp.zeros((h0, w0), jnp.float32)))
+    return time.perf_counter() - t0

@@ -67,6 +67,7 @@ def compute_flow(
     *,
     collect_trace: bool = False,
     fused: bool = False,
+    engine: Optional[str] = None,
 ) -> FlowResult:
     """Compute dense 2D optical flow from frame_0 to frame_1.
 
@@ -74,11 +75,13 @@ def compute_flow(
     float32. The returned flow is in original-pixel units, like the
     reference.
 
-    fused=True: the ENTIRE coarse-to-fine solve — presmooth plus every
-    pyramid level — is one XLA program: one host->device dispatch per frame
-    pair. fused=False (default) runs one program per level. Measured on TPU
-    v5e the two are equal at steady state (~0.22 s/pair for 10 levels at
-    584x388) but fused compiles ~10x slower, so per-level is the default.
+    engine: "bucketed" (default for grey constancy — ~10 compiled bucket
+    programs serve all levels) or "levels" (one program per level shape;
+    required for gradient/log constancy and per-level tracing).
+
+    fused=True: the ENTIRE coarse-to-fine solve as one XLA program (one
+    dispatch per pair). Measured equal to per-level at steady state on TPU
+    v5e but ~10x slower to compile, so off by default.
     """
     cfg = cfg or FlowConfig()
     f0 = jnp.asarray(frame_0, dtype=jnp.float32)
@@ -89,6 +92,7 @@ def compute_flow(
 
     if collect_trace:
         fused = False
+        engine = "levels"
 
     # NOTE: the first call for a given (shape, config) pays XLA compilation;
     # steady-state timing starts from the second call (benchmarks warm up
@@ -102,11 +106,22 @@ def compute_flow(
             u=u_host, v=v_host, seconds=time.perf_counter() - t0, levels=[]
         )
 
-    warmup((orig_h, orig_w), cfg)
+    # Pre-pay compilation outside the timed region (idempotent).
+    from tpuflow.config import DataConstancy as _DC
+
+    resolved = engine or ("bucketed" if cfg.data_constancy == _DC.GREY else "levels")
+    if resolved == "bucketed":
+        from tpuflow.solver.bucketed import warmup_bucketed
+
+        warmup_bucketed((orig_h, orig_w), cfg)
+    else:
+        warmup((orig_h, orig_w), cfg)
 
     t0 = time.perf_counter()
     traces: List[LevelTrace] = []
-    u, v = compute_flow_async(f0, f1, cfg, _traces=traces if collect_trace else None)
+    u, v = compute_flow_async(
+        f0, f1, cfg, engine=engine, _traces=traces if collect_trace else None
+    )
     u_host, v_host = np.asarray(u), np.asarray(v)
     seconds = time.perf_counter() - t0
 
@@ -118,6 +133,7 @@ def compute_flow_async(
     frame_1,
     cfg: Optional[FlowConfig] = None,
     *,
+    engine: Optional[str] = None,
     _traces: Optional[List[LevelTrace]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Like compute_flow but returns DEVICE arrays without a host fence.
@@ -125,11 +141,33 @@ def compute_flow_async(
     The streaming building block: submit many frame pairs back-to-back and
     fence once — on networked dispatch paths each host materialization
     costs a ~50+ ms round trip, so batch pipelines should stay on device.
+
+    engine: "bucketed" (default for grey constancy — ~10 compiled programs
+    instead of one per level shape) or "levels" (per-shape programs; the
+    only engine for gradient/log constancy and for per-level tracing).
     """
+    from tpuflow.config import DataConstancy
+
     cfg = cfg or FlowConfig()
+    if engine is None:
+        engine = (
+            "bucketed"
+            if cfg.data_constancy == DataConstancy.GREY and _traces is None
+            else "levels"
+        )
     f0 = jnp.asarray(frame_0, dtype=jnp.float32)
     f1 = jnp.asarray(frame_1, dtype=jnp.float32)
     orig_h, orig_w = f0.shape
+
+    if engine == "bucketed":
+        from tpuflow.solver.bucketed import (
+            compute_flow_bucketed_async,
+            warmup_bucketed,
+        )
+
+        warmup_bucketed((orig_h, orig_w), cfg)
+        return compute_flow_bucketed_async(f0, f1, cfg)
+
     warmup((orig_h, orig_w), cfg)
 
     specs = level_schedule(orig_w, orig_h, cfg.warp_levels_count, cfg.warp_scale_factor)
