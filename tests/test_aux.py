@@ -1,0 +1,74 @@
+"""Auxiliary subsystems: VTK export, streaming sequence driver with
+manifest-based resume, profiling hook."""
+
+import os
+
+import numpy as np
+
+from tpuflow.config import FlowConfig
+from tpuflow.io import write_raw_u8
+from tpuflow.io.vtk import write_flow_vtk
+from tpuflow.parallel.multihost import SequenceManifest, process_sequence
+
+
+def test_vtk_writer(tmp_path):
+    u = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+    v = -u
+    p = str(tmp_path / "flow.vtk")
+    write_flow_vtk(u, v, p)
+    text = open(p).read()
+    assert "STRUCTURED_POINTS" in text
+    assert "DIMENSIONS 2 2 1" in text
+    assert "VECTORS flow float" in text
+    assert text.strip().splitlines()[-1].startswith("4 -4")
+
+
+def make_seq(d, n=3, w=24, h=16):
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    paths = []
+    for i in range(n):
+        img = 200.0 * np.exp(-((ys - h / 2) ** 2 + (xs - w / 2 - 0.5 * i) ** 2) / 18.0)
+        p = os.path.join(d, f"f{i}.raw")
+        write_raw_u8(p, img)
+        paths.append(p)
+    return [(paths[i], paths[i + 1]) for i in range(n - 1)]
+
+
+CFG = FlowConfig(
+    warp_levels_count=2,
+    warp_scale_factor=0.6,
+    outer_iterations_count=3,
+    inner_iterations_count=2,
+    median_radius=3,
+    gaussian_sigma=0.8,
+)
+
+
+def test_process_sequence_and_resume(tmp_path):
+    pairs = make_seq(str(tmp_path))
+    out = str(tmp_path / "out")
+    completed = process_sequence(pairs, 24, 16, out, CFG)
+    assert completed == ["00000_", "00001_"]
+    files = os.listdir(out)
+    assert "00000_flow-u-24-16.raw" in files
+    assert "00001_res.pgm" in files
+    assert "manifest.jsonl" in files
+
+    # Resume: nothing left to do.
+    completed2 = process_sequence(pairs, 24, 16, out, CFG)
+    assert completed2 == []
+
+    # Manifest records both pairs.
+    assert SequenceManifest(os.path.join(out, "manifest.jsonl")).done() == {
+        "00000_",
+        "00001_",
+    }
+
+
+def test_profiling_trace_contextmanager(tmp_path):
+    from tpuflow.utils.profiling import trace
+
+    with trace(str(tmp_path / "trace")) as d:
+        x = np.ones(4) + 1
+    assert os.path.isdir(d)
+    assert (x == 2).all()

@@ -1,0 +1,134 @@
+"""Multi-host execution: process initialization and streaming sequences.
+
+The reference is single-process/single-GPU; this is new design (SURVEY.md
+§2.7): multi-host scaling uses `jax.distributed.initialize` + a global
+('data', 'y') mesh spanning all hosts. Frame pairs are independent work
+units, so the streaming driver shards the BATCH over hosts (each host reads
+its own slice of the sequence — per-host input sharding over DCN-free local
+I/O) while spatial row-sharding rides ICI within each host's chips.
+
+Failure model (SURVEY.md §5): frame pairs are independent, so recovery is
+re-processing — the output manifest records completed pairs and `resume`
+skips them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+
+from tpuflow.config import FlowConfig
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-process JAX (no-op for single-process runs).
+
+    On TPU pods with standard env configuration, bare
+    ``jax.distributed.initialize()`` autodetects everything.
+    """
+    if num_processes is None and coordinator_address is None:
+        env_procs = os.environ.get("TPUFLOW_NUM_PROCESSES")
+        if env_procs is None or int(env_procs) <= 1:
+            return  # single process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+@dataclasses.dataclass
+class SequenceManifest:
+    """Completed-pair ledger for resumable streaming runs."""
+
+    path: str
+
+    def done(self) -> set:
+        if not os.path.exists(self.path):
+            return set()
+        with open(self.path) as f:
+            return {json.loads(line)["pair"] for line in f if line.strip()}
+
+    def record(self, pair_id: str, seconds: float) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"pair": pair_id, "seconds": seconds}) + "\n")
+
+
+def process_sequence(
+    pairs: Sequence[Tuple[str, str]],
+    width: int,
+    height: int,
+    output_dir: str,
+    cfg: Optional[FlowConfig] = None,
+    *,
+    resume: bool = True,
+    flow_max_scale: float = 10.0,
+) -> List[str]:
+    """Stream a sequence of frame-pair files through the solver.
+
+    Each process handles pairs where ``index % process_count == process_index``
+    (per-host input sharding); outputs use the reference naming scheme with
+    the pair index as counter. Returns the pair ids this process completed.
+
+    Host I/O overlaps device compute: the next pair's frames are read and
+    submitted while previous results are still materializing (async
+    dispatch), so a long sequence keeps the chip busy.
+    """
+    import time
+
+    from tpuflow.io import write_flow_image_rgb, write_magnitude_f32, write_raw_f32
+    from tpuflow.io.raw import read_frame
+    from tpuflow.solver.flow2d import compute_flow_async
+
+    cfg = cfg or FlowConfig()
+    os.makedirs(output_dir, exist_ok=True)
+    manifest = SequenceManifest(os.path.join(output_dir, "manifest.jsonl"))
+    done = manifest.done() if resume else set()
+
+    pid = jax.process_index()
+    pcount = jax.process_count()
+
+    completed = []
+    pending = []  # (pair_id, device u, device v, t_submit)
+
+    def drain(entry):
+        pair_id, u_dev, v_dev, t_submit = entry
+        u, v = np.asarray(u_dev), np.asarray(v_dev)
+        suffix = f"-{width}-{height}.raw"
+        write_raw_f32(os.path.join(output_dir, f"{pair_id}flow-u{suffix}"), u)
+        write_raw_f32(os.path.join(output_dir, f"{pair_id}flow-v{suffix}"), v)
+        write_flow_image_rgb(u, v, flow_max_scale,
+                             os.path.join(output_dir, f"{pair_id}res.pgm"))
+        write_magnitude_f32(u, v, os.path.join(output_dir, f"{pair_id}amp{suffix}"))
+        manifest.record(pair_id, time.perf_counter() - t_submit)
+        completed.append(pair_id)
+
+    for idx, (path0, path1) in enumerate(pairs):
+        if idx % pcount != pid:
+            continue
+        pair_id = f"{idx:05d}_"
+        if pair_id in done:
+            continue
+        f0 = read_frame(path0, width, height)
+        f1 = read_frame(path1, width, height)
+        t_submit = time.perf_counter()
+        u_dev, v_dev = compute_flow_async(f0, f1, cfg)
+        pending.append((pair_id, u_dev, v_dev, t_submit))
+        # Keep a small in-flight window: device queues stay busy while the
+        # host writes results.
+        if len(pending) >= 2:
+            drain(pending.pop(0))
+
+    for entry in pending:
+        drain(entry)
+    return completed

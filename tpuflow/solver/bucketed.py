@@ -47,7 +47,6 @@ from tpuflow.ops.resample import box_weights_dyn
 from tpuflow.ops.solver_ops import (
     compute_phi_ksi_dyn,
     edge_weights_dyn,
-    solve_sweep_dyn,
 )
 from tpuflow.pyramid import level_schedule
 
@@ -132,9 +131,27 @@ class LevelScalars:
         return tuple(getattr(self, f.name) for f in dataclasses.fields(self))
 
 
+# Fast-path half-window: displacements within +-WARP_MAX_DISP level pixels
+# use the vectorized masked shift-sum; larger motions fall back to a gather.
+WARP_MAX_DISP = 4
+
+
 def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
     """Bilinear backward warp with traced valid extent
-    (reference: registration_2d.cu:48-72)."""
+    (reference: registration_2d.cu:48-72).
+
+    General gathers cost ~4 ns/element on the TPU scalar path (~5 ms per
+    584x388 warp); displacements after coarse-to-fine prolongation are
+    almost always a few pixels, so the default path expresses the warp as a
+    masked sum over (2D+2)^2 static shifts of f1 — pure VPU work — with a
+    separable factorization that keeps it to ~(2D+2)^2 FMAs/pixel. A
+    runtime `lax.cond` falls back to the exact gather when any displacement
+    exceeds the window.
+
+    Note the reference's edge clamp (x1 = min(w-1, x0+1)) only differs from
+    x0+1 where the corresponding bilinear weight is exactly zero (x_f >
+    w-1 is "invalid" and copies frame_0), so unclamped taps are exact.
+    """
     hb, wb = f0.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 0)
@@ -152,49 +169,113 @@ def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
         | (ys > hlim)
     )
 
-    safe_x = jnp.where(invalid, 0.0, x_f)
-    safe_y = jnp.where(invalid, 0.0, y_f)
+    safe_x = jnp.where(invalid, xs, x_f)
+    safe_y = jnp.where(invalid, ys, y_f)
     x0 = jnp.floor(safe_x).astype(jnp.int32)
     y0 = jnp.floor(safe_y).astype(jnp.int32)
     dx = safe_x - x0.astype(jnp.float32)
     dy = safe_y - y0.astype(jnp.float32)
-    x1 = jnp.minimum(cw - 1, x0 + 1)
-    y1 = jnp.minimum(ch - 1, y0 + 1)
 
-    flat = f1.reshape(-1)
-
-    def at(yy, xx):
-        return jnp.take(flat, yy * wb + xx, axis=0)
+    # Integer shift fields (0 for invalid pixels: safe_* snapped to iota).
+    dxq = x0 - xs.astype(jnp.int32)
+    dyq = y0 - ys.astype(jnp.int32)
 
     one = jnp.float32(1.0)
-    value = (
-        (one - dx) * (one - dy) * at(y0, x0)
-        + dx * (one - dy) * at(y0, x1)
-        + (one - dx) * dy * at(y1, x0)
-        + dx * dy * at(y1, x1)
-    )
+    w00 = (one - dx) * (one - dy)
+    w01 = dx * (one - dy)
+    w10 = (one - dx) * dy
+    w11 = dx * dy
+
+    D = WARP_MAX_DISP
+
+    def fast_path(_):
+        pad = D + 1
+        fpad = jnp.pad(f1, pad, mode="edge")
+
+        def shifted(c, d):
+            return fpad[pad + c : pad + c + hb, pad + d : pad + d + wb]
+
+        mx = {d: (dxq == d).astype(jnp.float32) for d in range(-D, D + 1)}
+        my = {c: (dyq == c).astype(jnp.float32) for c in range(-D, D + 1)}
+        zeros = jnp.zeros_like(f0)
+
+        # Separable accumulation: P_d pairs the x-weights with the column
+        # masks, R_c/S_c contract over columns, the final sum over rows.
+        P = {
+            d: w00 * mx.get(d, zeros) + w01 * mx.get(d - 1, zeros)
+            for d in range(-D, D + 2)
+        }
+        Q = {
+            d: w10 * mx.get(d, zeros) + w11 * mx.get(d - 1, zeros)
+            for d in range(-D, D + 2)
+        }
+        out = zeros
+        for c in range(-D, D + 2):
+            r_c = zeros
+            s_c = zeros
+            for d in range(-D, D + 2):
+                f_cd = shifted(c, d)
+                r_c = r_c + P[d] * f_cd
+                s_c = s_c + Q[d] * f_cd
+            out = out + my.get(c, zeros) * r_c + my.get(c - 1, zeros) * s_c
+        return out
+
+    def slow_path(_):
+        x1 = jnp.minimum(cw - 1, x0 + 1)
+        y1 = jnp.minimum(ch - 1, y0 + 1)
+        flat = f1.reshape(-1)
+
+        def at(yy, xx):
+            return jnp.take(flat, yy * wb + xx, axis=0)
+
+        return (
+            w00 * at(y0, x0)
+            + w01 * at(y0, x1)
+            + w10 * at(y1, x0)
+            + w11 * at(y1, x1)
+        )
+
+    small = (jnp.max(jnp.abs(dxq)) <= D) & (jnp.max(jnp.abs(dyq)) <= D)
+    value = jax.lax.cond(small, fast_path, slow_path, 0)
     return jnp.where(invalid, f0, value)
 
 
 def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
-    """outer x inner relaxation on bucket arrays with ghost maintenance."""
+    """outer x inner relaxation on bucket arrays with ghost maintenance.
+
+    Loop-invariant work is hoisted explicitly (XLA's while-loop LICM cannot
+    be relied on):
+      * the motion tensor and free-boundary weights are per-LEVEL constants
+        — computed once (the reference recomputes them in every kernel
+        launch, solve_2d.cu:311-329);
+      * the half-point-diffusivity x edge-weight products, sumH, and the
+        ksi-scaled tensor terms are per-OUTER constants — computed once
+        after each phi/ksi update;
+      * each sweep then only shifts the combined iterate T = flow + d
+        ((u_xp + du_xp) == T_xp exactly) and applies the point updates.
+
+    All hoists are value-exact except folding ksi into the tensor terms
+    (ksi*(-J13 - J12*dv) -> -a13 - a12*dv), a 1-ulp-level reassociation.
+    """
+    from tpuflow.ops.solver_ops import _shifts
+
     (cw, ch, _, _, div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2) = sc[:10]
     F = np.float32
     e_s2 = F(cfg.equation_smoothness) * F(cfg.equation_smoothness)
     e_d2 = F(cfg.equation_data) * F(cfg.equation_data)
 
+    # ---- per-level constants ----
+    f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _shifts(f0_l)
+    f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _shifts(f1_w)
+    fx = (f0_xp - f0_xm + f1_xp - f1_xm) / div4hx
+    fy = (f0_yp - f0_ym + f1_yp - f1_ym) / div4hy
+    ft = f1_c - f0_c
+    J11, J22 = fx * fx, fy * fy
+    J12, J13, J23 = fx * fy, fx * ft, fy * ft
+    xp_w, xm_w, yp_w, ym_w = edge_weights_dyn(u.shape, cw, ch, a_hx2, a_hy2)
+
     du0 = jnp.zeros_like(u)
     dv0 = jnp.zeros_like(v)
-
-    def inner_step(carry, _):
-        du, dv, phi, ksi = carry
-        du_n, dv_n = solve_sweep_dyn(
-            f0_l, f1_w, u, v, du, dv, phi, ksi, cw, ch,
-            div4hx, div4hy, a_hx2, a_hy2, cfg.data_constancy,
-        )
-        du_n = maintain_mirror2(du_n, cw, ch)
-        dv_n = maintain_mirror2(dv_n, cw, ch)
-        return (du_n, dv_n, phi, ksi), None
 
     def outer_step(carry, _):
         du, dv = carry
@@ -202,9 +283,48 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
             f0_l, f1_w, u, v, du, dv, div2hx, div2hy, div4hx, div4hy, e_s2, e_d2
         )
         phi = maintain_mirror2(phi, cw, ch)
-        (du, dv, _, _), _ = jax.lax.scan(
-            inner_step, (du, dv, phi, ksi), None,
-            length=cfg.inner_iterations_count,
+
+        # ---- per-outer constants ----
+        phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = _shifts(phi)
+        pw_xp = (phi_xp_n + phi_c) * 0.5 * xp_w
+        pw_xm = (phi_xm_n + phi_c) * 0.5 * xm_w
+        pw_yp = (phi_yp_n + phi_c) * 0.5 * yp_w
+        pw_ym = (phi_ym_n + phi_c) * 0.5 * ym_w
+        sumH = pw_xp + pw_xm + pw_yp + pw_ym
+        a12 = ksi * J12
+        a13 = ksi * J13
+        a23 = ksi * J23
+        denom_u = ksi * J11 + sumH
+        denom_v = ksi * J22 + sumH
+        u_c = u
+        v_c = v
+
+        def inner_step(carry2, _):
+            du_i, dv_i = carry2
+            tu = u + du_i
+            tv = v + dv_i
+            _, tu_xp, tu_xm, tu_yp, tu_ym = _shifts(tu)
+            _, tv_xp, tv_xm, tv_yp, tv_ym = _shifts(tv)
+            sumU = (
+                pw_xp * (tu_xp - u_c)
+                + pw_xm * (tu_xm - u_c)
+                + pw_yp * (tu_yp - u_c)
+                + pw_ym * (tu_ym - u_c)
+            )
+            sumV = (
+                pw_xp * (tv_xp - v_c)
+                + pw_xm * (tv_xm - v_c)
+                + pw_yp * (tv_yp - v_c)
+                + pw_ym * (tv_ym - v_c)
+            )
+            new_du = (-a13 - a12 * dv_i + sumU) / denom_u
+            new_dv = (-a23 - a12 * new_du + sumV) / denom_v
+            new_du = maintain_mirror2(new_du, cw, ch)
+            new_dv = maintain_mirror2(new_dv, cw, ch)
+            return (new_du, new_dv), None
+
+        (du, dv), _ = jax.lax.scan(
+            inner_step, (du, dv), None, length=cfg.inner_iterations_count
         )
         return (du, dv), None
 
@@ -282,6 +402,28 @@ def compiled_bucketed_level(bucket: Tuple[int, int], top_bucket: Tuple[int, int]
     return run
 
 
+@functools.lru_cache(maxsize=256)
+def compiled_bucketed_group(bucket: Tuple[int, int], top_bucket: Tuple[int, int],
+                            n_levels: int, cfg: FlowConfig):
+    """All consecutive levels sharing one bucket as ONE dispatch: a
+    `lax.scan` over their stacked per-level scalars."""
+
+    @jax.jit
+    def run(f0s, f1s, u_prev, v_prev, stacked_scalars):
+        def body(carry, sc):
+            u, v = carry
+            u, v = bucketed_level_step(
+                f0s, f1s, u, v, sc, bucket, top_bucket, cfg
+            )
+            return (u, v), None
+
+        (u, v), _ = jax.lax.scan(body, (u_prev, v_prev), stacked_scalars,
+                                 length=n_levels)
+        return u, v
+
+    return run
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_smooth_pad(sigma: float, orig_shape: Tuple[int, int],
                          top_bucket: Tuple[int, int]):
@@ -320,18 +462,32 @@ def compute_flow_bucketed_async(frame_0, frame_1, cfg: FlowConfig = None):
     u = jnp.zeros((h0b, w0b), jnp.float32)
     v = jnp.zeros_like(u)
 
-    prev_cw, prev_ch = specs[0].width, specs[0].height  # first level: identity flow
+    for bucket, stacked in _level_groups(specs, w0, h0, cfg):
+        step = compiled_bucketed_group(bucket, top_bucket, stacked[0].shape[0], cfg)
+        u, v = step(f0s, f1s, u, v, stacked)
+
+    return u[:h0, :w0], v[:h0, :w0]
+
+
+def _level_groups(specs, w0: int, h0: int, cfg: FlowConfig):
+    """Consecutive same-bucket levels with their stacked scalar trees."""
+    groups = []
+    prev_cw, prev_ch = specs[0].width, specs[0].height  # first level: identity
     for spec in specs:
         cw, ch = spec.width, spec.height
         bucket = bucket_dims(cw, ch)
         sc = LevelScalars.make(
             cw, ch, spec.hx, spec.hy, cfg.equation_alpha, w0, h0, prev_cw, prev_ch
         )
-        step = compiled_bucketed_level(bucket, top_bucket, cfg)
-        u, v = step(f0s, f1s, u, v, sc.tree())
+        if groups and groups[-1][0] == bucket:
+            groups[-1][1].append(sc)
+        else:
+            groups.append((bucket, [sc]))
         prev_cw, prev_ch = cw, ch
-
-    return u[:h0, :w0], v[:h0, :w0]
+    return [
+        (bucket, tuple(np.stack(col) for col in zip(*(sc.tree() for sc in scs))))
+        for bucket, scs in groups
+    ]
 
 
 _WARMED: set = set()
@@ -353,22 +509,22 @@ def warmup_bucketed(orig_shape: Tuple[int, int], cfg: FlowConfig,
     specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
     top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
     h0b, w0b = top_bucket
-    buckets = sorted({bucket_dims(s.width, s.height) for s in specs})
+    groups = _level_groups(specs, w0, h0, cfg)
 
     # Warm by CALLING with zero arguments: `.lower().compile()` does not
     # populate the jit dispatch cache, so an AOT-only warmup still pays the
     # full compile on the first real call (observed on the remote-compile
     # backend: 16 s "warmup" followed by a 510 s first run).
     zeros = jnp.zeros((h0b, w0b), jnp.float32)
-    sc = LevelScalars.make(4, 4, 1.0, 1.0, cfg.equation_alpha, w0, h0, 4, 4)
 
-    def compile_bucket(bucket):
-        fn = compiled_bucketed_level(bucket, top_bucket, cfg)
-        out = fn(zeros, zeros, zeros, zeros, sc.tree())
+    def compile_group(group):
+        bucket, stacked = group
+        fn = compiled_bucketed_group(bucket, top_bucket, stacked[0].shape[0], cfg)
+        out = fn(zeros, zeros, zeros, zeros, stacked)
         jax.block_until_ready(out)
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        list(ex.map(compile_bucket, buckets))
+        list(ex.map(compile_group, groups))
     smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
     jax.block_until_ready(smooth(jnp.zeros((h0, w0), jnp.float32)))
     return time.perf_counter() - t0
