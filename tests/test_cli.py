@@ -97,6 +97,28 @@ def test_f32_frames_autodetected(tmp_path):
     assert np.abs(u).max() < 1e-3  # identical frames -> zero flow
 
 
+def test_sequence_mode(tmp_path):
+    # Three frames -> two consecutive pairs, resumable.
+    ys, xs = np.mgrid[0:16, 0:24].astype(np.float32)
+    for i in range(3):
+        img = 200.0 * np.exp(-((ys - 8) ** 2 + (xs - 12 - 0.5 * i) ** 2) / 18.0)
+        write_raw_u8(os.path.join(tmp_path, f"seq_{i:03d}.raw"), img)
+    out = tmp_path / "seqout"
+    rc = main([
+        "--sequence", str(tmp_path / "seq_*.raw"),
+        "--size", "24x16", "--out", str(out), "--quiet",
+    ])
+    assert rc == 0
+    files = os.listdir(out)
+    assert "00000_flow-u-24-16.raw" in files and "00001_res.pgm" in files
+    assert "manifest.jsonl" in files
+
+
+def test_sequence_mode_requires_size_and_out(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["--sequence", str(tmp_path / "x_*.raw")])
+
+
 def test_bad_usage():
     with pytest.raises(SystemExit):
         main(["one", "two", "3"])

@@ -68,16 +68,47 @@ def _positional_mode(argv) -> tuple[FlowConfig, IOConfig]:
     return cfg, io
 
 
+def _sequence_mode(flags) -> int:
+    """Streaming mode: consecutive pairs over a sorted frame glob."""
+    import glob as globmod
+
+    from tpuflow.parallel.multihost import initialize_distributed, process_sequence
+
+    if not flags.size or not flags.out:
+        raise SystemExit("--sequence requires --size WxH and --out DIR")
+    w, h = (int(x) for x in flags.size.lower().split("x"))
+    frames = sorted(globmod.glob(flags.sequence))
+    if len(frames) < 2:
+        raise SystemExit(f"--sequence matched {len(frames)} files; need >= 2")
+    pairs = list(zip(frames[:-1], frames[1:]))
+
+    initialize_distributed()
+    cfg = FlowConfig()
+    if flags.constancy:
+        cfg = dataclasses.replace(cfg, data_constancy=DataConstancy(flags.constancy))
+    completed = process_sequence(pairs, w, h, flags.out, cfg)
+    if not flags.quiet:
+        print(f"processed {len(completed)} pairs -> {flags.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
 
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--constancy", choices=[c.value for c in DataConstancy])
-    parser.add_argument("--batch", type=int, default=0,
-                        help="process a numbered sequence of N pairs")
+    parser.add_argument("--sequence", metavar="GLOB",
+                        help="process consecutive pairs of all frames matching "
+                             "a glob (streaming, resumable via manifest)")
+    parser.add_argument("--size", metavar="WxH",
+                        help="frame size for --sequence mode, e.g. 584x388")
+    parser.add_argument("--out", metavar="DIR", help="output dir for --sequence")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--help", action="help")
     flags, positional = parser.parse_known_args(argv)
+
+    if flags.sequence:
+        return _sequence_mode(flags)
 
     if len(positional) >= 4:
         cfg, io = _positional_mode(positional)

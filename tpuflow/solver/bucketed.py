@@ -17,12 +17,15 @@ Design:
     [cw, cw+2) := mirror cols (radius 2 covers the median window), so the
     static concat shifts of tpuflow.ops.solver_ops produce reference-exact
     values inside the valid region;
-  * box-resample weight matrices are computed host-side per level
-    (tpuflow.ops.resample.resample_weights — exactly the reference
-    fractions) and passed as zero-embedded (bucket, bucket) ARGUMENTS, so
-    the resample stays two MXU matmuls with no per-level recompilation;
+  * box-resample weight matrices are computed ON DEVICE from iota
+    arithmetic (tpuflow.ops.resample.box_weights_dyn — bit-exact vs the
+    host transliteration of the reference fractions), so the resample
+    stays two MXU matmuls with no per-level recompilation or uploads;
   * the flow field is carried between levels at the TOP bucket shape, so a
-    program's signature depends only on its own bucket.
+    program's signature depends only on its own bucket;
+  * consecutive same-bucket levels run as ONE dispatch (`lax.scan` over
+    their stacked scalars), and a vmapped variant batches independent
+    frame pairs for streaming throughput.
 
 Numerics inside the valid region are identical to the per-shape engine
 (same expression order, host-precomputed float32 constants passed as
@@ -66,13 +69,37 @@ def maintain_mirror2(a: jax.Array, cw, ch) -> jax.Array:
     Row ch := row ch-2, row ch+1 := row ch-3 (the reference mirror index
     2h-r-2); then the same for columns, so the ghost corner is the 2D
     reflection. Requires ch+2 <= Hb and cw+2 <= Wb (bucket SLACK) and
-    ch, cw >= 3 (guaranteed: levels have min dim 4).
+    ch, cw >= 3 (guaranteed: levels have min dim 4). Radius 2 covers the
+    median window; stencil ops only need `maintain_mirror1`.
     """
     hb, wb = a.shape
     rows = jax.lax.dynamic_slice(a, (ch - 3, 0), (2, wb))[::-1, :]
     a = jax.lax.dynamic_update_slice(a, rows, (ch, 0))
     cols = jax.lax.dynamic_slice(a, (0, cw - 3), (hb, 2))[:, ::-1]
     a = jax.lax.dynamic_update_slice(a, cols, (0, cw))
+    return a
+
+
+def maintain_mirror1(a: jax.Array, cw, ch) -> jax.Array:
+    """Radius-1 ghost maintenance (row ch := row ch-2, col cw := col cw-2)
+    — all the radius-1 stencils need, at half the update cost."""
+    hb, wb = a.shape
+    row = jax.lax.dynamic_slice(a, (ch - 2, 0), (1, wb))
+    a = jax.lax.dynamic_update_slice(a, row, (ch, 0))
+    col = jax.lax.dynamic_slice(a, (0, cw - 2), (hb, 1))
+    a = jax.lax.dynamic_update_slice(a, col, (0, cw))
+    return a
+
+
+def maintain_replicate1(a: jax.Array, cw, ch) -> jax.Array:
+    """Radius-1 REPLICATE ghost maintenance (row ch := row ch-1, col cw :=
+    col cw-1) — the boundary rule of the gradient/log derivative fields
+    (reference: solve_2d.cu:813-841 replicates at tile borders)."""
+    hb, wb = a.shape
+    row = jax.lax.dynamic_slice(a, (ch - 1, 0), (1, wb))
+    a = jax.lax.dynamic_update_slice(a, row, (ch, 0))
+    col = jax.lax.dynamic_slice(a, (0, cw - 1), (hb, 1))
+    a = jax.lax.dynamic_update_slice(a, col, (0, cw))
     return a
 
 
@@ -264,14 +291,49 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
     e_s2 = F(cfg.equation_smoothness) * F(cfg.equation_smoothness)
     e_d2 = F(cfg.equation_data) * F(cfg.equation_data)
 
-    # ---- per-level constants ----
-    f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _shifts(f0_l)
-    f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _shifts(f1_w)
-    fx = (f0_xp - f0_xm + f1_xp - f1_xm) / div4hx
-    fy = (f0_yp - f0_ym + f1_yp - f1_ym) / div4hy
-    ft = f1_c - f0_c
-    J11, J22 = fx * fx, fy * fy
-    J12, J13, J23 = fx * fy, fx * ft, fy * ft
+    # ---- per-level constants: the motion tensor for the data term ----
+    def first_derivs(a, b):
+        a_c, a_xp, a_xm, a_yp, a_ym = _shifts(a)
+        b_c, b_xp, b_xm, b_yp, b_ym = _shifts(b)
+        fx = (a_xp - a_xm + b_xp - b_xm) / div4hx
+        fy = (a_yp - a_ym + b_yp - b_ym) / div4hy
+        ft = b_c - a_c
+        return fx, fy, ft
+
+    if cfg.data_constancy == DataConstancy.GREY:
+        fx, fy, ft = first_derivs(f0_l, f1_w)
+        J11, J22 = fx * fx, fy * fy
+        J12, J13, J23 = fx * fy, fx * ft, fy * ft
+    else:
+        # Gradient / log-derivative constancy: second-order tensor from the
+        # first-derivative fields with REPLICATE boundary
+        # (reference: solve_2d.cu:798-884; log uses log(1+I), :508-524).
+        from tpuflow.ops.solver_ops import _shifts_edge
+
+        if cfg.data_constancy == DataConstancy.LOG_DERIVATIVES:
+            fx, fy, ft = first_derivs(jnp.log1p(f0_l), jnp.log1p(f1_w))
+        else:
+            fx, fy, ft = first_derivs(f0_l, f1_w)
+        # Replicate ghosts so the concat edge shifts see the reference's
+        # boundary rule at the valid edge.
+        fx = maintain_replicate1(fx, cw, ch)
+        fy = maintain_replicate1(fy, cw, ch)
+        ft = maintain_replicate1(ft, cw, ch)
+        hx_1 = 1.0 / div2hx
+        hy_1 = 1.0 / div2hy
+        fx_xp, fx_xm, fx_yp, fx_ym = _shifts_edge(fx)
+        fy_xp, fy_xm, fy_yp, fy_ym = _shifts_edge(fy)
+        ft_xp, ft_xm, ft_yp, ft_ym = _shifts_edge(ft)
+        fxx = (fx_xp - fx_xm) * hx_1
+        fxy = (fx_yp - fx_ym) * hy_1
+        fyy = (fy_yp - fy_ym) * hy_1
+        fxt = (ft_xp - ft_xm) * hx_1
+        fyt = (ft_yp - ft_ym) * hy_1
+        J11 = fxx * fxx + fxy * fxy
+        J22 = fxy * fxy + fyy * fyy
+        J12 = fxx * fxy + fxy * fyy
+        J13 = fxx * fxt + fxy * fyt
+        J23 = fxy * fxt + fyy * fyt
     xp_w, xm_w, yp_w, ym_w = edge_weights_dyn(u.shape, cw, ch, a_hx2, a_hy2)
 
     du0 = jnp.zeros_like(u)
@@ -282,7 +344,7 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
         phi, ksi = compute_phi_ksi_dyn(
             f0_l, f1_w, u, v, du, dv, div2hx, div2hy, div4hx, div4hy, e_s2, e_d2
         )
-        phi = maintain_mirror2(phi, cw, ch)
+        phi = maintain_mirror1(phi, cw, ch)
 
         # ---- per-outer constants ----
         phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = _shifts(phi)
@@ -319,8 +381,8 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
             )
             new_du = (-a13 - a12 * dv_i + sumU) / denom_u
             new_dv = (-a23 - a12 * new_du + sumV) / denom_v
-            new_du = maintain_mirror2(new_du, cw, ch)
-            new_dv = maintain_mirror2(new_dv, cw, ch)
+            new_du = maintain_mirror1(new_du, cw, ch)
+            new_dv = maintain_mirror1(new_dv, cw, ch)
             return (new_du, new_dv), None
 
         (du, dv), _ = jax.lax.scan(
@@ -362,8 +424,8 @@ def bucketed_level_step(
                       precision=lax.Precision.HIGHEST)
     f1_l = jnp.matmul(wy_f, jnp.matmul(f1s, wx_f.T, precision=lax.Precision.HIGHEST),
                       precision=lax.Precision.HIGHEST)
-    f0_l = maintain_mirror2(f0_l, cw, ch)
-    f1_l = maintain_mirror2(f1_l, cw, ch)
+    f0_l = maintain_mirror1(f0_l, cw, ch)
+    f1_l = maintain_mirror1(f1_l, cw, ch)
 
     # Flow prolongation from the previous level (:315-340).
     u = jnp.matmul(wy_u, jnp.matmul(u_prev, wx_u.T, precision=lax.Precision.HIGHEST),
@@ -375,12 +437,16 @@ def bucketed_level_step(
 
     # Backward registration (:343-363).
     f1_w = warp_dyn(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim)
-    f1_w = maintain_mirror2(f1_w, cw, ch)
+    f1_w = maintain_mirror1(f1_w, cw, ch)
 
     du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg)
 
     u = u + du
     v = v + dv
+    # Median reads a radius-2 window: refresh the ghost region of the
+    # summed flow (du carries only radius-1 ghosts from the sweeps).
+    u = maintain_mirror2(u, cw, ch)
+    v = maintain_mirror2(v, cw, ch)
     u = median(u, cfg.median_radius)
     v = median(v, cfg.median_radius)
 
@@ -438,18 +504,62 @@ def _compiled_smooth_pad(sigma: float, orig_shape: Tuple[int, int],
     return run
 
 
-def compute_flow_bucketed_async(frame_0, frame_1, cfg: FlowConfig = None):
+@functools.lru_cache(maxsize=64)
+def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig):
+    """The ENTIRE solve — presmooth + every bucket group — as ONE XLA
+    program (one compile request, one dispatch per pair).
+
+    On remote-compile backends each compile request costs ~60 s of fixed
+    overhead with little server-side parallelism, so one program cold-starts
+    several times faster than ~10 group programs. Per-level scalars are
+    baked in as constants (the cache key is the workload shape + config).
+    """
+    h0, w0 = orig_shape
+    specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
+    top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
+    h0b, w0b = top_bucket
+    groups = _level_groups(specs, w0, h0, cfg)
+
+    @jax.jit
+    def run(f0, f1):
+        f0s = gaussian_smooth(f0, cfg.gaussian_sigma)
+        f0s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f0s)
+        f1s = gaussian_smooth(f1, cfg.gaussian_sigma)
+        f1s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f1s)
+        u = jnp.zeros((h0b, w0b), jnp.float32)
+        v = jnp.zeros_like(u)
+        for bucket, stacked in groups:
+            def body(carry, sc, bucket=bucket):
+                uu, vv = bucketed_level_step(
+                    f0s, f1s, carry[0], carry[1], sc, bucket, top_bucket, cfg
+                )
+                return (uu, vv), None
+
+            (u, v), _ = jax.lax.scan(
+                body, (u, v), stacked, length=stacked[0].shape[0]
+            )
+        return u[:h0, :w0], v[:h0, :w0]
+
+    return run
+
+
+def compute_flow_bucketed_async(frame_0, frame_1, cfg: FlowConfig = None,
+                                *, single_dispatch: bool = True):
     """Full coarse-to-fine solve via bucketed programs; returns DEVICE
-    arrays at the original (H, W)."""
+    arrays at the original (H, W).
+
+    single_dispatch=True (default) runs the whole pyramid as one program;
+    False dispatches one program per bucket group (useful when iterating on
+    a single bucket's code, or to share group programs across workload
+    shapes).
+    """
     cfg = cfg or FlowConfig()
-    if cfg.data_constancy != DataConstancy.GREY:
-        raise NotImplementedError(
-            "bucketed engine currently supports grey constancy; "
-            "use compute_flow (per-shape engine) for gradient/log"
-        )
     f0 = jnp.asarray(frame_0, dtype=jnp.float32)
     f1 = jnp.asarray(frame_1, dtype=jnp.float32)
     h0, w0 = f0.shape
+
+    if single_dispatch:
+        return compiled_full_pipeline((h0, w0), cfg)(f0, f1)
 
     specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
     top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
@@ -490,41 +600,119 @@ def _level_groups(specs, w0: int, h0: int, cfg: FlowConfig):
     ]
 
 
+@functools.lru_cache(maxsize=256)
+def compiled_bucketed_group_batched(bucket: Tuple[int, int],
+                                    top_bucket: Tuple[int, int],
+                                    n_levels: int, batch: int,
+                                    cfg: FlowConfig):
+    """Batched (vmapped) group program: (B, Hb, Wb) frame stacks."""
+
+    @jax.jit
+    def run(f0s, f1s, u_prev, v_prev, stacked_scalars):
+        def body(carry, sc):
+            u, v = carry
+            u, v = jax.vmap(
+                lambda a, b, x, y: bucketed_level_step(
+                    a, b, x, y, sc, bucket, top_bucket, cfg
+                )
+            )(f0s, f1s, u, v)
+            return (u, v), None
+
+        (u, v), _ = jax.lax.scan(body, (u_prev, v_prev), stacked_scalars,
+                                 length=n_levels)
+        return u, v
+
+    return run
+
+
+def compute_flow_bucketed_batch(frames_0, frames_1, cfg: FlowConfig = None,
+                                mesh=None, data_axis: str = "data"):
+    """Solve a (B, H, W) stack of independent frame pairs.
+
+    The streaming-throughput entry point: batching amortizes the per-pass
+    dispatch floor that dominates the ~28 tiny coarse levels. Returns
+    DEVICE arrays (B, H, W).
+
+    With ``mesh``, the batch axis is sharded over the mesh's ``data`` axis
+    (pure data parallelism over chips — frame pairs are independent, so
+    GSPMD partitions every bucket program with zero communication).
+    """
+    cfg = cfg or FlowConfig()
+    f0 = jnp.asarray(frames_0, dtype=jnp.float32)
+    f1 = jnp.asarray(frames_1, dtype=jnp.float32)
+    if f0.ndim != 3 or f0.shape != f1.shape:
+        raise ValueError(f"expected (B, H, W) stacks, got {f0.shape} {f1.shape}")
+    b, h0, w0 = f0.shape
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(data_axis, None, None))
+        f0 = jax.device_put(f0, sharding)
+        f1 = jax.device_put(f1, sharding)
+
+    specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
+    top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
+    h0b, w0b = top_bucket
+
+    smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
+    vsmooth = jax.jit(jax.vmap(smooth))
+    f0s, f1s = vsmooth(f0), vsmooth(f1)
+
+    u = jnp.zeros((b, h0b, w0b), jnp.float32)
+    v = jnp.zeros_like(u)
+    for bucket, stacked in _level_groups(specs, w0, h0, cfg):
+        step = compiled_bucketed_group_batched(
+            bucket, top_bucket, stacked[0].shape[0], b, cfg
+        )
+        u, v = step(f0s, f1s, u, v, stacked)
+
+    return u[:, :h0, :w0], v[:, :h0, :w0]
+
+
 _WARMED: set = set()
 
 
 def warmup_bucketed(orig_shape: Tuple[int, int], cfg: FlowConfig,
-                    max_workers: int = 16) -> float:
-    """Concurrently AOT-compile the bucket programs for a workload shape.
-    Idempotent per (shape, cfg) within the process."""
+                    max_workers: int = 16, *, grouped: bool = False) -> float:
+    """Compile the solver for a workload shape before timing/serving.
+
+    Warms by CALLING with zero arguments: `.lower().compile()` does not
+    populate the jit dispatch cache, so an AOT-only warmup still pays the
+    full compile on the first real call (observed on the remote-compile
+    backend: 16 s "warmup" followed by a 510 s first run).
+
+    Default warms the single-dispatch whole-pipeline program (ONE compile
+    request — remote compile services serialize requests at ~60 s each,
+    so fewer programs beat concurrent warmup). ``grouped=True`` also warms
+    the per-bucket group programs. Idempotent per (shape, cfg, grouped).
+    """
     import time
     from concurrent.futures import ThreadPoolExecutor
 
-    key = (orig_shape, cfg)
+    key = (orig_shape, cfg, grouped)
     if key in _WARMED:
         return 0.0
     _WARMED.add(key)
     t0 = time.perf_counter()
     h0, w0 = orig_shape
-    specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
-    top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
-    h0b, w0b = top_bucket
-    groups = _level_groups(specs, w0, h0, cfg)
+    zeros_frame = jnp.zeros((h0, w0), jnp.float32)
+    jax.block_until_ready(compiled_full_pipeline(orig_shape, cfg)(zeros_frame, zeros_frame))
 
-    # Warm by CALLING with zero arguments: `.lower().compile()` does not
-    # populate the jit dispatch cache, so an AOT-only warmup still pays the
-    # full compile on the first real call (observed on the remote-compile
-    # backend: 16 s "warmup" followed by a 510 s first run).
-    zeros = jnp.zeros((h0b, w0b), jnp.float32)
+    if grouped:
+        specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
+        top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
+        h0b, w0b = top_bucket
+        groups = _level_groups(specs, w0, h0, cfg)
+        zeros = jnp.zeros((h0b, w0b), jnp.float32)
 
-    def compile_group(group):
-        bucket, stacked = group
-        fn = compiled_bucketed_group(bucket, top_bucket, stacked[0].shape[0], cfg)
-        out = fn(zeros, zeros, zeros, zeros, stacked)
-        jax.block_until_ready(out)
+        def compile_group(group):
+            bucket, stacked = group
+            fn = compiled_bucketed_group(bucket, top_bucket, stacked[0].shape[0], cfg)
+            jax.block_until_ready(fn(zeros, zeros, zeros, zeros, stacked))
 
-    with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        list(ex.map(compile_group, groups))
-    smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
-    jax.block_until_ready(smooth(jnp.zeros((h0, w0), jnp.float32)))
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(compile_group, groups))
+        smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
+        jax.block_until_ready(smooth(zeros_frame))
     return time.perf_counter() - t0

@@ -75,9 +75,9 @@ def compute_flow(
     float32. The returned flow is in original-pixel units, like the
     reference.
 
-    engine: "bucketed" (default for grey constancy — ~10 compiled bucket
-    programs serve all levels) or "levels" (one program per level shape;
-    required for gradient/log constancy and per-level tracing).
+    engine: "bucketed" (default — one compiled program serves the whole
+    pyramid, any constancy) or "levels" (one program per level shape;
+    used for per-level tracing).
 
     fused=True: the ENTIRE coarse-to-fine solve as one XLA program (one
     dispatch per pair). Measured equal to per-level at steady state on TPU
@@ -107,9 +107,7 @@ def compute_flow(
         )
 
     # Pre-pay compilation outside the timed region (idempotent).
-    from tpuflow.config import DataConstancy as _DC
-
-    resolved = engine or ("bucketed" if cfg.data_constancy == _DC.GREY else "levels")
+    resolved = engine or "bucketed"
     if resolved == "bucketed":
         from tpuflow.solver.bucketed import warmup_bucketed
 
@@ -142,19 +140,12 @@ def compute_flow_async(
     fence once — on networked dispatch paths each host materialization
     costs a ~50+ ms round trip, so batch pipelines should stay on device.
 
-    engine: "bucketed" (default for grey constancy — ~10 compiled programs
-    instead of one per level shape) or "levels" (per-shape programs; the
-    only engine for gradient/log constancy and for per-level tracing).
+    engine: "bucketed" (default) or "levels" (per-shape programs, used
+    for per-level tracing).
     """
-    from tpuflow.config import DataConstancy
-
     cfg = cfg or FlowConfig()
     if engine is None:
-        engine = (
-            "bucketed"
-            if cfg.data_constancy == DataConstancy.GREY and _traces is None
-            else "levels"
-        )
+        engine = "levels" if _traces is not None else "bucketed"
     f0 = jnp.asarray(frame_0, dtype=jnp.float32)
     f1 = jnp.asarray(frame_1, dtype=jnp.float32)
     orig_h, orig_w = f0.shape
