@@ -45,13 +45,14 @@ class FlowConfig:
     gaussian_sigma: float = 1.5
     data_constancy: DataConstancy = DataConstancy.GREY
 
-    # Reference-quirk emulation: the gradient/log solve kernels stage first
-    # derivatives in shared memory with REPLICATED halos at 16x8 CUDA block
-    # borders (reference: src/kernels/solve_2d.cu:813-841), and the log
-    # variant additionally loads the block's own edge column into its halo
-    # (reference: src/kernels/solve_2d.cu:448,462). When True, emulate that
-    # blocking exactly (for bit-parity studies); when False (default) use the
-    # mathematically clean global neighbors.
+    # Reference-quirk emulation (RESERVED, not yet implemented): the
+    # gradient/log solve kernels stage first derivatives in shared memory
+    # with REPLICATED halos at 16x8 CUDA block borders (reference:
+    # src/kernels/solve_2d.cu:813-841), and the log variant additionally
+    # loads the block's own edge column into its halo (reference:
+    # src/kernels/solve_2d.cu:448,462). tpuflow uses the mathematically
+    # clean global neighbors; setting this True raises until the blocking
+    # emulation lands.
     grad_block_parity: bool = False
 
     def __post_init__(self):
@@ -65,6 +66,11 @@ class FlowConfig:
             # Same limit as the reference host wrapper
             # (reference: src/cuda_operations/2d/cuda_operation_median_2d.cpp:152-154).
             raise ValueError("median_radius > 7 is not supported")
+        if self.grad_block_parity:
+            raise NotImplementedError(
+                "grad_block_parity (CUDA-block halo emulation) is reserved "
+                "and not implemented yet"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

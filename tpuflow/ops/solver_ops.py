@@ -222,57 +222,6 @@ def compute_phi_ksi_dyn(f0, f1, u, v, du, dv, div2hx, div2hy, div4hx, div4hy,
     return phi, ksi
 
 
-def solve_sweep_dyn(f0, f1, u, v, du, dv, phi, ksi, cw, ch,
-                    div4hx, div4hy, alpha_hx2, alpha_hy2,
-                    constancy: DataConstancy = DataConstancy.GREY):
-    """One Jacobi sweep with traced valid region and constants."""
-    if constancy == DataConstancy.GREY:
-        pass
-    elif constancy in (DataConstancy.GRADIENT, DataConstancy.LOG_DERIVATIVES):
-        raise NotImplementedError(
-            "bucketed gradient/log sweeps land with the dyn second-order "
-            "tensor; use the per-shape path"
-        )
-    f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _shifts(f0)
-    f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _shifts(f1)
-    fx = (f0_xp - f0_xm + f1_xp - f1_xm) / div4hx
-    fy = (f0_yp - f0_ym + f1_yp - f1_ym) / div4hy
-    ft = f1_c - f0_c
-    J11, J22 = fx * fx, fy * fy
-    J12, J13, J23 = fx * fy, fx * ft, fy * ft
-
-    xp, xm, yp, ym = edge_weights_dyn(u.shape, cw, ch, alpha_hx2, alpha_hy2)
-
-    phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = _shifts(phi)
-    u_c, u_xp, u_xm, u_yp, u_ym = _shifts(u)
-    v_c, v_xp, v_xm, v_yp, v_ym = _shifts(v)
-    du_c, du_xp, du_xm, du_yp, du_ym = _shifts(du)
-    dv_c, dv_xp, dv_xm, dv_yp, dv_ym = _shifts(dv)
-
-    phi_xp = (phi_xp_n + phi_c) * 0.5
-    phi_xm = (phi_xm_n + phi_c) * 0.5
-    phi_yp = (phi_yp_n + phi_c) * 0.5
-    phi_ym = (phi_ym_n + phi_c) * 0.5
-
-    sumH = xp * phi_xp + xm * phi_xm + yp * phi_yp + ym * phi_ym
-    sumU = (
-        phi_xp * xp * (u_xp + du_xp - u_c)
-        + phi_xm * xm * (u_xm + du_xm - u_c)
-        + phi_yp * yp * (u_yp + du_yp - u_c)
-        + phi_ym * ym * (u_ym + du_ym - u_c)
-    )
-    sumV = (
-        phi_xp * xp * (v_xp + dv_xp - v_c)
-        + phi_xm * xm * (v_xm + dv_xm - v_c)
-        + phi_yp * yp * (v_yp + dv_yp - v_c)
-        + phi_ym * ym * (v_ym + dv_ym - v_c)
-    )
-
-    result_du = (ksi * (-J13 - J12 * dv_c) + sumU) / (ksi * J11 + sumH)
-    result_dv = (ksi * (-J23 - J12 * result_du) + sumV) / (ksi * J22 + sumH)
-    return result_du, result_dv
-
-
 # ---------------------------------------------------------------------------
 # Padded formulation — the fast XLA path used by the relaxation scan.
 #
