@@ -106,6 +106,24 @@ def test_bucketed_batch_matches_single_and_shards():
         assert d.max() < 1e-5, (i, d.max())
 
 
+def test_bucketed_spatial_sharding_matches_unsharded():
+    from tpuflow.parallel import make_mesh
+    from tpuflow.solver.bucketed import compute_flow_bucketed_sharded
+
+    h, w = 120, 140  # top bucket (128, 256): 128 rows shard over 4 devices
+    f0 = blob(h, w, 60, 70, 8.0) + blob(h, w, 30, 35, 4.0)
+    f1 = blob(h, w, 61.1, 69.2, 8.0) + blob(h, w, 30.7, 35.8, 4.0)
+    cfg = FlowConfig(
+        warp_levels_count=4, warp_scale_factor=0.6, outer_iterations_count=5,
+        inner_iterations_count=3, median_radius=5, gaussian_sigma=1.0,
+    )
+    mesh = make_mesh((2, 4))
+    us, vs = compute_flow_bucketed_sharded(f0, f1, cfg, mesh=mesh)
+    u1, v1 = compute_flow_bucketed_async(f0, f1, cfg)
+    epe = endpoint_error(np.asarray(us), np.asarray(vs), np.asarray(u1), np.asarray(v1))
+    assert epe < 1e-5, f"sharded vs unsharded EPE {epe}"
+
+
 @pytest.mark.parametrize("constancy", [DataConstancy.GRADIENT, DataConstancy.LOG_DERIVATIVES])
 def test_bucketed_grad_log_matches_per_shape(constancy):
     h, w = 48, 56
@@ -120,3 +138,32 @@ def test_bucketed_grad_log_matches_per_shape(constancy):
     ub, vb = compute_flow_bucketed_async(f0, f1, cfg)
     epe = endpoint_error(np.asarray(ub), np.asarray(vb), ref.u, ref.v)
     assert epe < 1e-3, f"{constancy}: bucketed vs per-shape EPE {epe}"
+
+
+@pytest.mark.parametrize("scale,path", [(3.0, "fast"), (30.0, "gather-fallback")])
+def test_warp_dyn_paths_match_oracle(scale, path):
+    # Small displacements take the masked shift-sum; displacements beyond
+    # WARP_MAX_DISP trigger the runtime lax.cond gather fallback. Both must
+    # match the oracle on the valid region.
+    import jax.numpy as jnp
+
+    import tpuflow.oracle as oracle
+    from tpuflow.solver.bucketed import warp_dyn
+
+    rng = np.random.default_rng(2)
+    HB, WB, cw, ch = 64, 128, 100, 50
+    f0 = np.zeros((HB, WB), np.float32)
+    f1 = np.zeros((HB, WB), np.float32)
+    f0[:ch, :cw] = rng.random((ch, cw), dtype=np.float32) * 255
+    f1[:ch, :cw] = rng.random((ch, cw), dtype=np.float32) * 255
+    u = ((rng.random((HB, WB), dtype=np.float32) - 0.5) * scale).astype(np.float32)
+    v = ((rng.random((HB, WB), dtype=np.float32) - 0.5) * scale).astype(np.float32)
+    got = np.asarray(
+        warp_dyn(
+            jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(u), jnp.asarray(v),
+            np.int32(cw), np.int32(ch), np.float32(1), np.float32(1),
+            np.float32(cw - 1), np.float32(ch - 1),
+        )
+    )
+    want = oracle.warp(f0[:ch, :cw], f1[:ch, :cw], u[:ch, :cw], v[:ch, :cw], 1.0, 1.0)
+    np.testing.assert_allclose(got[:ch, :cw], want, atol=2e-4, err_msg=path)

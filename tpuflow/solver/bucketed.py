@@ -625,6 +625,82 @@ def compiled_bucketed_group_batched(bucket: Tuple[int, int],
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def compiled_full_pipeline_batched(orig_shape: Tuple[int, int], batch: int,
+                                   cfg: FlowConfig):
+    """vmapped single-dispatch whole-pipeline program for (B, H, W) stacks."""
+    single = compiled_full_pipeline(orig_shape, cfg)
+    return jax.jit(jax.vmap(lambda a, b: single(a, b)))
+
+
+@functools.lru_cache(maxsize=64)
+def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
+                                   y_axis: str, cfg: FlowConfig):
+    """Single-dispatch pipeline with rows sharded over the mesh's spatial
+    axis — the SURVEY §2.7 spatial domain decomposition.
+
+    Every bucket dimension is a multiple of 64 rows, so row sharding
+    divides evenly for any power-of-two axis size; GSPMD partitions the
+    stencil shifts into 1-row halo exchanges over ICI and the resample
+    matmuls into partial contractions. Interior shard edges get true
+    neighbor rows from the collectives while the valid-edge mirror
+    semantics stay in the ghost-maintenance updates — no hand-written halo
+    code.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h0, w0 = orig_shape
+    specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
+    top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
+    h0b, w0b = top_bucket
+    groups = _level_groups(specs, w0, h0, cfg)
+    n_y = mesh.shape[y_axis]
+    row_sharding = NamedSharding(mesh, P(y_axis, None))
+
+    def constrain(a, hb):
+        if hb % n_y == 0 and hb // n_y >= 16:
+            return jax.lax.with_sharding_constraint(a, row_sharding)
+        return a  # tiny buckets: replicate (GSPMD's choice)
+
+    @jax.jit
+    def run(f0, f1):
+        f0s = gaussian_smooth(f0, cfg.gaussian_sigma)
+        f0s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f0s)
+        f1s = gaussian_smooth(f1, cfg.gaussian_sigma)
+        f1s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f1s)
+        f0s = constrain(f0s, h0b)
+        f1s = constrain(f1s, h0b)
+        u = jnp.zeros((h0b, w0b), jnp.float32)
+        v = jnp.zeros_like(u)
+        for bucket, stacked in groups:
+            def body(carry, sc, bucket=bucket):
+                uu, vv = bucketed_level_step(
+                    f0s, f1s, carry[0], carry[1], sc, bucket, top_bucket, cfg
+                )
+                return (constrain(uu, h0b), constrain(vv, h0b)), None
+
+            (u, v), _ = jax.lax.scan(
+                body, (u, v), stacked, length=stacked[0].shape[0]
+            )
+        return u[:h0, :w0], v[:h0, :w0]
+
+    return run
+
+
+def compute_flow_bucketed_sharded(frame_0, frame_1, cfg: FlowConfig = None,
+                                  mesh=None, y_axis: str = "y"):
+    """Single frame pair with image rows sharded over the mesh (for frames
+    too large for one chip, BASELINE configs[3]). Returns DEVICE arrays."""
+    from tpuflow.parallel.mesh import make_mesh
+
+    cfg = cfg or FlowConfig()
+    mesh = mesh or make_mesh()
+    f0 = jnp.asarray(frame_0, dtype=jnp.float32)
+    f1 = jnp.asarray(frame_1, dtype=jnp.float32)
+    run = compiled_full_pipeline_sharded(f0.shape, mesh, y_axis, cfg)
+    return run(f0, f1)
+
+
 def compute_flow_bucketed_batch(frames_0, frames_1, cfg: FlowConfig = None,
                                 mesh=None, data_axis: str = "data"):
     """Solve a (B, H, W) stack of independent frame pairs.
@@ -651,23 +727,10 @@ def compute_flow_bucketed_batch(frames_0, frames_1, cfg: FlowConfig = None,
         f0 = jax.device_put(f0, sharding)
         f1 = jax.device_put(f1, sharding)
 
-    specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
-    top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
-    h0b, w0b = top_bucket
-
-    smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
-    vsmooth = jax.jit(jax.vmap(smooth))
-    f0s, f1s = vsmooth(f0), vsmooth(f1)
-
-    u = jnp.zeros((b, h0b, w0b), jnp.float32)
-    v = jnp.zeros_like(u)
-    for bucket, stacked in _level_groups(specs, w0, h0, cfg):
-        step = compiled_bucketed_group_batched(
-            bucket, top_bucket, stacked[0].shape[0], b, cfg
-        )
-        u, v = step(f0s, f1s, u, v, stacked)
-
-    return u[:, :h0, :w0], v[:, :h0, :w0]
+    # One program, one dispatch (the whole pyramid vmapped over the batch);
+    # with sharded inputs GSPMD partitions the batch axis across the mesh.
+    run = compiled_full_pipeline_batched((h0, w0), b, cfg)
+    return run(f0, f1)
 
 
 _WARMED: set = set()
