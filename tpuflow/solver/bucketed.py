@@ -267,6 +267,23 @@ def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
     return jnp.where(invalid, f0, value)
 
 
+def _pallas_relax_wanted(hb: int, wb: int, cfg: FlowConfig) -> bool:
+    """Use the VMEM-resident Pallas kernel when on TPU and the bucket's
+    working set fits VMEM (tpuflow.ops.pallas.relax_bucket). One kernel
+    launch replaces ~240 fused XLA stencil passes per level."""
+    import os
+
+    if os.environ.get("TPUFLOW_DISABLE_PALLAS") == "1":
+        return False
+    from tpuflow.ops.pallas.relax_bucket import relax_bucket_supported
+
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        platform = "cpu"
+    return platform == "tpu" and relax_bucket_supported(hb, wb, cfg)
+
+
 def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
     """outer x inner relaxation on bucket arrays with ghost maintenance.
 
@@ -285,6 +302,11 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
     (ksi*(-J13 - J12*dv) -> -a13 - a12*dv), a 1-ulp-level reassociation.
     """
     from tpuflow.ops.solver_ops import _shifts
+
+    if _pallas_relax_wanted(*u.shape, cfg):
+        from tpuflow.ops.pallas.relax_bucket import relax_bucket_fused
+
+        return relax_bucket_fused(f0_l, f1_w, u, v, sc, cfg)
 
     (cw, ch, _, _, div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2) = sc[:10]
     F = np.float32
