@@ -112,6 +112,13 @@ def main(argv=None) -> int:
 
     if len(positional) >= 4:
         cfg, io = _positional_mode(positional)
+    elif len(positional) >= 2:
+        # 2-3 bare args: an incomplete positional invocation, not a
+        # settings file — say so instead of "settings file not found: <f1>".
+        raise SystemExit(
+            "usage: tpuflow <file1> <file2> <width> <height> [counter] "
+            "<outdir> [alpha sigma]  |  tpuflow [settings.xml]"
+        )
     else:
         settings = positional[0] if positional else "settings.xml"
         if not os.path.exists(settings):

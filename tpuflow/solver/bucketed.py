@@ -284,7 +284,7 @@ def _pallas_relax_wanted(hb: int, wb: int, cfg: FlowConfig) -> bool:
     return platform == "tpu" and relax_bucket_supported(hb, wb, cfg)
 
 
-def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
+def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig, use_pallas=None):
     """outer x inner relaxation on bucket arrays with ghost maintenance.
 
     Loop-invariant work is hoisted explicitly (XLA's while-loop LICM cannot
@@ -303,7 +303,9 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig):
     """
     from tpuflow.ops.solver_ops import _shifts
 
-    if _pallas_relax_wanted(*u.shape, cfg):
+    if use_pallas is None:
+        use_pallas = _pallas_relax_wanted(*u.shape, cfg)
+    if use_pallas:
         from tpuflow.ops.pallas.relax_bucket import relax_bucket_fused
 
         return relax_bucket_fused(f0_l, f1_w, u, v, sc, cfg)
@@ -425,6 +427,7 @@ def bucketed_level_step(
     bucket: Tuple[int, int],
     top_bucket: Tuple[int, int],
     cfg: FlowConfig,
+    use_pallas=None,
 ):
     """One pyramid level at a bucket shape; returns flow at the top bucket."""
     (cw, ch, inv_hx, inv_hy, _d2x, _d2y, _d4x, _d4y, _ax, _ay, wlim, hlim,
@@ -461,7 +464,7 @@ def bucketed_level_step(
     f1_w = warp_dyn(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim)
     f1_w = maintain_mirror1(f1_w, cw, ch)
 
-    du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg)
+    du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg, use_pallas=use_pallas)
 
     u = u + du
     v = v + dv
@@ -622,37 +625,38 @@ def _level_groups(specs, w0: int, h0: int, cfg: FlowConfig):
     ]
 
 
-@functools.lru_cache(maxsize=256)
-def compiled_bucketed_group_batched(bucket: Tuple[int, int],
-                                    top_bucket: Tuple[int, int],
-                                    n_levels: int, batch: int,
-                                    cfg: FlowConfig):
-    """Batched (vmapped) group program: (B, Hb, Wb) frame stacks."""
-
-    @jax.jit
-    def run(f0s, f1s, u_prev, v_prev, stacked_scalars):
-        def body(carry, sc):
-            u, v = carry
-            u, v = jax.vmap(
-                lambda a, b, x, y: bucketed_level_step(
-                    a, b, x, y, sc, bucket, top_bucket, cfg
-                )
-            )(f0s, f1s, u, v)
-            return (u, v), None
-
-        (u, v), _ = jax.lax.scan(body, (u_prev, v_prev), stacked_scalars,
-                                 length=n_levels)
-        return u, v
-
-    return run
-
-
 @functools.lru_cache(maxsize=64)
 def compiled_full_pipeline_batched(orig_shape: Tuple[int, int], batch: int,
                                    cfg: FlowConfig):
     """vmapped single-dispatch whole-pipeline program for (B, H, W) stacks."""
-    single = compiled_full_pipeline(orig_shape, cfg)
-    return jax.jit(jax.vmap(lambda a, b: single(a, b)))
+    h0, w0 = orig_shape
+    specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
+    top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
+    h0b, w0b = top_bucket
+    groups = _level_groups(specs, w0, h0, cfg)
+
+    def single(f0, f1):
+        f0s = gaussian_smooth(f0, cfg.gaussian_sigma)
+        f0s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f0s)
+        f1s = gaussian_smooth(f1, cfg.gaussian_sigma)
+        f1s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f1s)
+        u = jnp.zeros((h0b, w0b), jnp.float32)
+        v = jnp.zeros_like(u)
+        for bucket, stacked in groups:
+            def body(carry, sc, bucket=bucket):
+                # use_pallas=False: vmapping the VMEM kernel adds a grid
+                # axis and the batch is HBM-bound regardless.
+                uu, vv = bucketed_level_step(
+                    f0s, f1s, carry[0], carry[1], sc, bucket, top_bucket, cfg,
+                    use_pallas=False,
+                )
+                return (uu, vv), None
+
+            (u, v), _ = jax.lax.scan(body, (u, v), stacked,
+                                     length=stacked[0].shape[0])
+        return u[:h0, :w0], v[:h0, :w0]
+
+    return jax.jit(jax.vmap(single))
 
 
 @functools.lru_cache(maxsize=64)
@@ -696,8 +700,11 @@ def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
         v = jnp.zeros_like(u)
         for bucket, stacked in groups:
             def body(carry, sc, bucket=bucket):
+                # use_pallas=False: the full-array VMEM kernel would defeat
+                # GSPMD row sharding; the XLA path partitions cleanly.
                 uu, vv = bucketed_level_step(
-                    f0s, f1s, carry[0], carry[1], sc, bucket, top_bucket, cfg
+                    f0s, f1s, carry[0], carry[1], sc, bucket, top_bucket, cfg,
+                    use_pallas=False,
                 )
                 return (constrain(uu, h0b), constrain(vv, h0b)), None
 

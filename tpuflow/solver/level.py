@@ -40,8 +40,18 @@ from tpuflow.pyramid import LevelSpec
 
 
 def _pallas_wanted(h: int, w: int, cfg: FlowConfig) -> bool:
-    """Use the fused VMEM-resident Pallas kernel when running on TPU and the
-    level's working set fits VMEM (tpuflow.ops.pallas.relax)."""
+    """Whether the per-shape engine should use the static-shape Pallas
+    kernel (tpuflow.ops.pallas.relax).
+
+    Off unless TPUFLOW_LEVELS_PALLAS=1: the per-shape kernel compiles one
+    Mosaic program per level shape (minutes on remote-compile backends) and
+    measured no faster than the XLA path; the production engine is the
+    bucketed one, whose kernel (ops.pallas.relax_bucket) is shape-shared.
+    """
+    import os
+
+    if os.environ.get("TPUFLOW_LEVELS_PALLAS") != "1":
+        return False
     from tpuflow.ops.pallas.relax import relax_supported
 
     try:
