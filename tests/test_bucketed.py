@@ -2,8 +2,8 @@
 
 The bucketed path must reproduce the per-shape solver inside the valid
 region — same mirror boundaries (via ghost maintenance), same constants
-(host-precomputed float32 scalars), same resample fractions (weights as
-arguments).
+(host-precomputed float32 scalars), same resample fractions (weights
+computed on device from iota arithmetic).
 """
 
 import numpy as np
