@@ -72,3 +72,23 @@ def test_profiling_trace_contextmanager(tmp_path):
         x = np.ones(4) + 1
     assert os.path.isdir(d)
     assert (x == 2).all()
+
+
+def test_flow_energy_decreases_with_solving():
+    from tpuflow.solver.flow2d import compute_flow
+    from tpuflow.utils.diagnostics import flow_energy
+
+    ys, xs = np.mgrid[0:32, 0:40].astype(np.float32)
+    f0 = 200.0 * np.exp(-((ys - 16) ** 2 + (xs - 20) ** 2) / 40.0)
+    f1 = 200.0 * np.exp(-((ys - 16.8) ** 2 + (xs - 21.1) ** 2) / 40.0)
+    cfg = FlowConfig(
+        warp_levels_count=3, warp_scale_factor=0.6, outer_iterations_count=8,
+        inner_iterations_count=3, median_radius=3, gaussian_sigma=0.8,
+    )
+    zero = np.zeros_like(f0)
+    e0 = flow_energy(f0, f1, zero, zero, cfg)
+    res = compute_flow(f0, f1, cfg)
+    e1 = flow_energy(f0, f1, res.u, res.v, cfg)
+    assert float(e1.total) < float(e0.total), (float(e1.total), float(e0.total))
+    assert float(e1.data) < float(e0.data)
+    assert np.isfinite(float(e1.smoothness))
