@@ -104,3 +104,18 @@ def test_single_level_horn_schunck_config():
     u_core = float(np.asarray(result.u)[7:10, 7:10].mean())
     v_core = float(np.asarray(result.v)[7:10, 7:10].mean())
     assert u_core > 3.0 * abs(v_core) and u_core > 1e-3
+
+
+def test_bucketed_group_traces():
+    f0 = gaussian_blob(40, 48, 20.0, 24.0)
+    f1 = gaussian_blob(40, 48, 20.7, 25.0)
+    cfg = FlowConfig(**SMALL_CFG)
+    res = compute_flow(f0, f1, cfg, collect_trace=True, engine="bucketed")
+    assert len(res.levels) >= 1
+    # negative level = "group of n levels" marker; sizes are bucket dims
+    assert all(t.level < 0 and t.seconds >= 0 for t in res.levels)
+    assert sum(-t.level for t in res.levels) == len(
+        __import__("tpuflow.pyramid", fromlist=["level_schedule"]).level_schedule(
+            48, 40, cfg.warp_levels_count, cfg.warp_scale_factor
+        )
+    )

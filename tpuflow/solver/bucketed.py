@@ -569,7 +569,8 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig):
 
 
 def compute_flow_bucketed_async(frame_0, frame_1, cfg: FlowConfig = None,
-                                *, single_dispatch: bool = True):
+                                *, single_dispatch: bool = True,
+                                group_traces=None):
     """Full coarse-to-fine solve via bucketed programs; returns DEVICE
     arrays at the original (H, W).
 
@@ -577,11 +578,20 @@ def compute_flow_bucketed_async(frame_0, frame_1, cfg: FlowConfig = None,
     False dispatches one program per bucket group (useful when iterating on
     a single bucket's code, or to share group programs across workload
     shapes).
+
+    group_traces: optional list; when given, forces grouped dispatch and
+    appends one (bucket, n_levels, seconds) record per group (host-fenced —
+    a profiling mode, not the fast path).
     """
+    import time
+
     cfg = cfg or FlowConfig()
     f0 = jnp.asarray(frame_0, dtype=jnp.float32)
     f1 = jnp.asarray(frame_1, dtype=jnp.float32)
     h0, w0 = f0.shape
+
+    if group_traces is not None:
+        single_dispatch = False
 
     if single_dispatch:
         return compiled_full_pipeline((h0, w0), cfg)(f0, f1)
@@ -598,8 +608,13 @@ def compute_flow_bucketed_async(frame_0, frame_1, cfg: FlowConfig = None,
     v = jnp.zeros_like(u)
 
     for bucket, stacked in _level_groups(specs, w0, h0, cfg):
+        t0 = time.perf_counter() if group_traces is not None else 0.0
         step = compiled_bucketed_group(bucket, top_bucket, stacked[0].shape[0], cfg)
         u, v = step(f0s, f1s, u, v, stacked)
+        if group_traces is not None:
+            np.asarray(u)  # host fence (async backends)
+            group_traces.append((bucket, int(stacked[0].shape[0]),
+                                 time.perf_counter() - t0))
 
     return u[:h0, :w0], v[:h0, :w0]
 

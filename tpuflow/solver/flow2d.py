@@ -92,7 +92,7 @@ def compute_flow(
 
     if collect_trace:
         fused = False
-        engine = "levels"
+        engine = engine or "levels"  # explicit engine="bucketed" gives group-level traces
 
     # NOTE: the first call for a given (shape, config) pays XLA compilation;
     # steady-state timing starts from the second call (benchmarks warm up
@@ -157,6 +157,15 @@ def compute_flow_async(
         )
 
         warmup_bucketed((orig_h, orig_w), cfg)
+        if _traces is not None:
+            # Group-level tracing (one record per bucket group of levels;
+            # the per-level engine gives finer granularity on CPU).
+            gt = []
+            u, v = compute_flow_bucketed_async(f0, f1, cfg, group_traces=gt)
+            for (hb, wb), n, secs in gt:
+                _traces.append(LevelTrace(level=-n, width=wb, height=hb,
+                                          seconds=secs))
+            return u, v
         return compute_flow_bucketed_async(f0, f1, cfg)
 
     warmup((orig_h, orig_w), cfg)
