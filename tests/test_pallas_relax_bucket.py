@@ -19,6 +19,18 @@ from tpuflow.ops.pallas.relax_bucket import relax_bucket_fused, relax_bucket_sup
 from tpuflow.solver.bucketed import LevelScalars, _relax_dyn, maintain_mirror1
 
 
+def derivs(f0, f1, sc):
+    from tpuflow.ops.solver_ops import _shifts
+
+    d4x, d4y = sc.div4hx, sc.div4hy
+    f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _shifts(f0)
+    f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _shifts(f1)
+    fx = (f0_xp - f0_xm + f1_xp - f1_xm) / d4x
+    fy = (f0_yp - f0_ym + f1_yp - f1_ym) / d4y
+    ft = f1_c - f0_c
+    return fx, fy, ft
+
+
 def setup(HB=128, WB=256, cw=200, ch=100, seed=4):
     rng = np.random.default_rng(seed)
 
@@ -38,8 +50,9 @@ def setup(HB=128, WB=256, cw=200, ch=100, seed=4):
 def test_single_sweep_matches_xla():
     f0, f1, u, v, sc, (cw, ch) = setup()
     cfg = FlowConfig(outer_iterations_count=1, inner_iterations_count=1)
-    want = _relax_dyn(f0, f1, u, v, sc.tree(), cfg)
-    got = relax_bucket_fused(f0, f1, u, v, sc.tree(), cfg, interpret=True)
+    want = _relax_dyn(f0, f1, u, v, sc.tree(), cfg, use_pallas=False)
+    fx, fy, ft = derivs(f0, f1, sc)
+    got = relax_bucket_fused(fx, fy, ft, u, v, sc.tree(), cfg, interpret=True)
     for g, w in zip(got, want):
         d = np.abs(np.asarray(g)[:ch, :cw] - np.asarray(w)[:ch, :cw])
         assert d.max() < 1e-5, d.max()
@@ -49,8 +62,9 @@ def test_single_sweep_matches_xla():
 def test_multi_iteration_mean_epe_bounded(outer, inner):
     f0, f1, u, v, sc, (cw, ch) = setup()
     cfg = FlowConfig(outer_iterations_count=outer, inner_iterations_count=inner)
-    want = _relax_dyn(f0, f1, u, v, sc.tree(), cfg)
-    got = relax_bucket_fused(f0, f1, u, v, sc.tree(), cfg, interpret=True)
+    want = _relax_dyn(f0, f1, u, v, sc.tree(), cfg, use_pallas=False)
+    fx, fy, ft = derivs(f0, f1, sc)
+    got = relax_bucket_fused(fx, fy, ft, u, v, sc.tree(), cfg, interpret=True)
     epe = np.hypot(
         np.asarray(got[0])[:ch, :cw] - np.asarray(want[0])[:ch, :cw],
         np.asarray(got[1])[:ch, :cw] - np.asarray(want[1])[:ch, :cw],

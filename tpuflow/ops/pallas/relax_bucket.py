@@ -63,8 +63,9 @@ def _shift_xm(a):
 
 
 def relax_bucket_fused(
-    f0_l: jax.Array,
-    f1_w: jax.Array,
+    fx: jax.Array,
+    fy: jax.Array,
+    ft: jax.Array,
     u: jax.Array,
     v: jax.Array,
     scalars,             # LevelScalars.tree() entries (traced 0-d)
@@ -72,9 +73,18 @@ def relax_bucket_fused(
     *,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(du, dv) after the full relaxation; all inputs at bucket shape."""
+    """(du, dv) after the full relaxation; all inputs at bucket shape.
+
+    Takes the PRE-COMPUTED first derivatives fx, fy, ft (per-level
+    constants, reference: solve_2d.cu:311-321) instead of the frames: the
+    motion tensor is only ever read at the chunk CENTER, so hoisting the
+    derivative computation out of the kernel removes two halo-slab
+    assemblies and the tensor arithmetic from every phi/sweep pass with
+    bit-identical values.
+    """
     (cw, ch, _, _, div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2) = scalars[:10]
     hb, wb = u.shape
+    assert fx.shape == (hb, wb)
     n_chunks = hb // CHUNK
     F = np.float32
     e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
@@ -89,7 +99,7 @@ def relax_bucket_fused(
 
     def kernel(
         cw_ref, ch_ref, d2x_ref, d2y_ref, d4x_ref, d4y_ref, ax_ref, ay_ref,
-        f0_ref, f1_ref, u_ref, v_ref,
+        fx_ref, fy_ref, ft_ref, u_ref, v_ref,
         du_ref, dv_ref,                      # outputs == iterate "A"
         dub_ref, dvb_ref, phi_ref, ksi_ref,  # scratch "B" + phi/ksi
     ):
@@ -139,12 +149,12 @@ def relax_bucket_fused(
             return xp_w, xm_w, yp_w, ym_w
 
         def grey_derivs(i, s):
-            a_c, a_xp, a_xm, a_yp, a_ym = shifts(f0_ref, i, s)
-            b_c, b_xp, b_xm, b_yp, b_ym = shifts(f1_ref, i, s)
-            fx = (a_xp - a_xm + b_xp - b_xm) / d4x
-            fy = (a_yp - a_ym + b_yp - b_ym) / d4y
-            ft = b_c - a_c
-            return fx, fy, ft
+            del i
+            return (
+                fx_ref[pl.ds(s, CHUNK), :],
+                fy_ref[pl.ds(s, CHUNK), :],
+                ft_ref[pl.ds(s, CHUNK), :],
+            )
 
         def phi_chunk(i, carry):
             s = pl.multiple_of(i * CHUNK, CHUNK)
@@ -245,7 +255,7 @@ def relax_bucket_fused(
             jax.ShapeDtypeStruct((hb, wb), jnp.float32),
             jax.ShapeDtypeStruct((hb, wb), jnp.float32),
         ),
-        in_specs=[smem(None)] * 8 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[smem(None)] * 8 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -257,4 +267,4 @@ def relax_bucket_fused(
             transcendentals=2 * hb * wb * cfg.outer_iterations_count,
         ),
         interpret=interpret,
-    )(*smem_i, *smem_f, f0_l, f1_w, u, v)
+    )(*smem_i, *smem_f, fx, fy, ft, u, v)

@@ -284,6 +284,12 @@ def _pallas_relax_wanted(hb: int, wb: int, cfg: FlowConfig) -> bool:
     return platform == "tpu" and relax_bucket_supported(hb, wb, cfg)
 
 
+def _pshifts_local(a):
+    from tpuflow.ops.solver_ops import _shifts
+
+    return _shifts(a)
+
+
 def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig, use_pallas=None):
     """outer x inner relaxation on bucket arrays with ghost maintenance.
 
@@ -308,7 +314,16 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig, use_pallas=None):
     if use_pallas:
         from tpuflow.ops.pallas.relax_bucket import relax_bucket_fused
 
-        return relax_bucket_fused(f0_l, f1_w, u, v, sc, cfg)
+        # The motion-tensor derivatives are per-level constants, read only
+        # at stencil centers — compute them once here (same mirror shifts,
+        # bit-identical to the in-kernel recompute they replace).
+        (_, _, _, _, _, _, div4hx, div4hy, _, _) = sc[:10]
+        f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _pshifts_local(f0_l)
+        f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _pshifts_local(f1_w)
+        fx = (f0_xp - f0_xm + f1_xp - f1_xm) / div4hx
+        fy = (f0_yp - f0_ym + f1_yp - f1_ym) / div4hy
+        ft = f1_c - f0_c
+        return relax_bucket_fused(fx, fy, ft, u, v, sc, cfg)
 
     (cw, ch, _, _, div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2) = sc[:10]
     F = np.float32
