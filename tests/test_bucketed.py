@@ -73,6 +73,24 @@ def test_bucketed_matches_per_shape(h, w):
     assert np.isfinite(np.asarray(ub)).all()
 
 
+def test_bucketed_median_radius7_matches_per_shape():
+    # The side-7 median window reads 3 cells beyond the valid edge: the
+    # bucketed engine must maintain radius-3 mirror ghosts before the
+    # median or border pixels take medians over stale ghost values
+    # (round-1 advisor finding: max EPE 8.5e-5 with only radius-2 ghosts).
+    h, w = 48, 56
+    f0 = blob(h, w, 24, 28) + blob(h, w, 12, 14, 3.0)
+    f1 = blob(h, w, 25.1, 27.2) + blob(h, w, 12.6, 14.8, 3.0)
+    cfg = FlowConfig(
+        warp_levels_count=3, warp_scale_factor=0.6, outer_iterations_count=4,
+        inner_iterations_count=2, median_radius=7, gaussian_sigma=0.8,
+    )
+    ref = compute_flow(f0, f1, cfg, engine="levels")
+    ub, vb = compute_flow_bucketed_async(f0, f1, cfg)
+    d = np.hypot(np.asarray(ub) - ref.u, np.asarray(vb) - ref.v)
+    assert d.max() < 1e-6, f"median_radius=7 bucketed vs per-shape max diff {d.max()}"
+
+
 def test_bucketed_default_schedule_small():
     # Full default iteration counts on a small frame: exercises many levels
     # mapping to the same bucket program.

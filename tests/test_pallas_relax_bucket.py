@@ -6,6 +6,9 @@ the lagged nonlinearity amplifies compiled-vs-interpret 1-ulp noise at
 phi-sensitive pixels (|grad flow| ~ e_smooth), so multi-iteration checks
 bound the mean EPE, not bitwise equality (the full-pipeline EPE budget vs
 the oracle is 0.05 px; these paths agree to ~1e-3).
+
+v2 kernel: all three data constancies run in the kernel; the second-order
+tensor for gradient/log arrives as HBM-streamed per-level constants.
 """
 
 import numpy as np
@@ -16,19 +19,12 @@ import jax.numpy as jnp
 
 from tpuflow.config import DataConstancy, FlowConfig
 from tpuflow.ops.pallas.relax_bucket import relax_bucket_fused, relax_bucket_supported
-from tpuflow.solver.bucketed import LevelScalars, _relax_dyn, maintain_mirror1
-
-
-def derivs(f0, f1, sc):
-    from tpuflow.ops.solver_ops import _shifts
-
-    d4x, d4y = sc.div4hx, sc.div4hy
-    f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _shifts(f0)
-    f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _shifts(f1)
-    fx = (f0_xp - f0_xm + f1_xp - f1_xm) / d4x
-    fy = (f0_yp - f0_ym + f1_yp - f1_ym) / d4y
-    ft = f1_c - f0_c
-    return fx, fy, ft
+from tpuflow.solver.bucketed import (
+    LevelScalars,
+    _relax_dyn,
+    level_constants,
+    maintain_mirror1,
+)
 
 
 def setup(HB=128, WB=256, cw=200, ch=100, seed=4):
@@ -47,36 +43,65 @@ def setup(HB=128, WB=256, cw=200, ch=100, seed=4):
     return f0, f1, u, v, sc, (cw, ch)
 
 
-def test_single_sweep_matches_xla():
+def run_kernel(f0, f1, u, v, sc, cfg):
+    fx, fy, ft, J = level_constants(f0, f1, sc.tree(), cfg)
+    tensor = None if cfg.data_constancy == DataConstancy.GREY else J
+    return relax_bucket_fused(
+        fx, fy, ft, u, v, sc.tree(), cfg, tensor=tensor, interpret=True
+    )
+
+
+@pytest.mark.parametrize(
+    "constancy",
+    [DataConstancy.GREY, DataConstancy.GRADIENT, DataConstancy.LOG_DERIVATIVES],
+)
+def test_single_sweep_matches_xla(constancy):
     f0, f1, u, v, sc, (cw, ch) = setup()
-    cfg = FlowConfig(outer_iterations_count=1, inner_iterations_count=1)
+    cfg = FlowConfig(
+        outer_iterations_count=1, inner_iterations_count=1, data_constancy=constancy
+    )
     want = _relax_dyn(f0, f1, u, v, sc.tree(), cfg, use_pallas=False)
-    fx, fy, ft = derivs(f0, f1, sc)
-    got = relax_bucket_fused(fx, fy, ft, u, v, sc.tree(), cfg, interpret=True)
+    got = run_kernel(f0, f1, u, v, sc, cfg)
     for g, w in zip(got, want):
         d = np.abs(np.asarray(g)[:ch, :cw] - np.asarray(w)[:ch, :cw])
-        assert d.max() < 1e-5, d.max()
+        assert d.max() < 1e-5, (constancy, d.max())
 
 
-@pytest.mark.parametrize("outer,inner", [(3, 2), (2, 3)])
-def test_multi_iteration_mean_epe_bounded(outer, inner):
+@pytest.mark.parametrize(
+    "outer,inner,constancy",
+    [
+        (3, 2, DataConstancy.GREY),
+        (2, 3, DataConstancy.GREY),
+        (3, 2, DataConstancy.GRADIENT),
+        (2, 3, DataConstancy.LOG_DERIVATIVES),
+    ],
+)
+def test_multi_iteration_mean_epe_bounded(outer, inner, constancy):
     f0, f1, u, v, sc, (cw, ch) = setup()
-    cfg = FlowConfig(outer_iterations_count=outer, inner_iterations_count=inner)
+    cfg = FlowConfig(
+        outer_iterations_count=outer,
+        inner_iterations_count=inner,
+        data_constancy=constancy,
+    )
     want = _relax_dyn(f0, f1, u, v, sc.tree(), cfg, use_pallas=False)
-    fx, fy, ft = derivs(f0, f1, sc)
-    got = relax_bucket_fused(fx, fy, ft, u, v, sc.tree(), cfg, interpret=True)
+    got = run_kernel(f0, f1, u, v, sc, cfg)
     epe = np.hypot(
         np.asarray(got[0])[:ch, :cw] - np.asarray(want[0])[:ch, :cw],
         np.asarray(got[1])[:ch, :cw] - np.asarray(want[1])[:ch, :cw],
     ).mean()
-    assert epe < 1e-3, epe
+    assert epe < 1e-3, (constancy, epe)
+    # Ghost regions iterate unmaintained in the kernel (their values are
+    # masked out of valid pixels) — they must still stay finite.
+    assert np.isfinite(np.asarray(got[0])).all()
+    assert np.isfinite(np.asarray(got[1])).all()
 
 
 def test_supported_gating():
     cfg = FlowConfig()
     assert relax_bucket_supported(448, 640, cfg)       # top rub bucket fits
-    assert not relax_bucket_supported(2112, 2176, cfg)  # 2K frames fall back
+    assert relax_bucket_supported(1088, 2048, cfg)     # 1080p fine bucket fits
+    assert not relax_bucket_supported(2176, 3968, cfg)  # 4K falls back
     assert not relax_bucket_supported(100, 640, cfg)    # non-64-multiple rows
-    assert not relax_bucket_supported(
-        448, 640, FlowConfig(data_constancy=DataConstancy.GRADIENT)
-    )
+    # v2: gradient/log run in the kernel too
+    assert relax_bucket_supported(448, 640, FlowConfig(data_constancy=DataConstancy.GRADIENT))
+    assert relax_bucket_supported(448, 640, FlowConfig(data_constancy=DataConstancy.LOG_DERIVATIVES))

@@ -1,31 +1,58 @@
-"""VMEM-resident relaxation kernel for BUCKET shapes (Pallas TPU).
+"""VMEM-resident relaxation kernel for BUCKET shapes (Pallas TPU) — v2.
 
 One kernel invocation executes the whole ``outer x (phi/ksi + inner
 sweeps)`` relaxation of a pyramid level on a bucket-padded field with a
-traced valid extent — the bucketed-engine counterpart of
-tpuflow.ops.pallas.relax. One launch replaces the XLA path's ~240 fused
-stencil passes per level, and every field stays in VMEM between sweeps.
+traced valid extent — the bucketed-engine counterpart of the reference's
+outer*inner separate kernel launches with per-sweep host syncs
+(reference: cuda_operation_solve_2d.cpp:238-300). One launch replaces the
+XLA path's ~240 fused stencil passes per level, and every iterate stays in
+VMEM between sweeps.
 
-Bucket regularity makes the kernel Mosaic-friendly where the static-shape
-version was not:
-  * bucket heights are multiples of CHUNK=64 rows, so the chunk loop is a
-    single `fori_loop` whose dynamic slices are provably 8-aligned
-    (chunk s = 64*i; halo rows come from aligned 8-row block reads with a
-    where-select for the mirrored top edge);
-  * ghost mirror maintenance at the traced valid edge uses full-field
-    roll+select (pltpu.roll is a native relayout), avoiding unaligned
-    dynamic stores.
+v2 redesign (round 2), driven by the round-1 profile (fine buckets were
+VPU-bound at ~26 us/pass on slab assembly + lane shifts + per-sweep tensor
+recompute):
+
+  * **Combined iterate** ``T = flow + d``: the sweeps only ever read
+    ``u_xp + du_xp`` together (reference: solve_2d.cu:349-359), so the
+    kernel carries Tu = u + du, Tv = v + dv and assembles TWO halo slabs
+    per sweep instead of five (u, v, du, dv, phi). u, v are read at chunk
+    centers only. phi's gradient (solve_2d.cu:141-162) also contracts to
+    shifts of T alone.
+  * **Per-outer tensor hoist**: the data-term products ksi*J11..ksi*J23
+    are constants within an outer iteration (phi/ksi update once per
+    outer, solve_2d.cu:195-196) — computed once per outer into five VMEM
+    fields (a12, a13, a23, b11, b22) instead of per sweep.
+  * **Ghost maintenance once per outer**: mirror ghosts at the traced
+    valid edge are only OBSERVED by the phi gradient pass; every sweep
+    consumption of neighbor values is multiplied by the free-boundary
+    weights (solve_2d.cu:333-340), which are zero exactly at the valid
+    edge. So Tu/Tv ghosts are refreshed once per outer (before phi)
+    instead of 2 fields x 2 rolls per sweep, and phi/ksi need none.
+  * **Per-level constants stream from HBM**: the motion-tensor fields
+    (grey first derivatives fx, fy, ft, plus the second-order tensor
+    J11, J22, J12, J13, J23 for gradient/log constancy,
+    solve_2d.cu:867-884) are read once per outer at chunk centers, so
+    they live in HBM and are DMA'd per chunk in the prologue. This frees
+    VMEM for the hoisted fields and makes GRADIENT / LOG_DERIVATIVES
+    constancy (the X-ray workloads, reference README.md:30-38) run the
+    same kernel as GREY — round 1 restricted the kernel to GREY.
+
+Bucket regularity keeps the kernel Mosaic-friendly: bucket heights are
+multiples of CHUNK=64 rows, so the chunk loop is a single `fori_loop`
+whose dynamic slices are provably 8-aligned (halo rows come from aligned
+8-row block reads with a where-select for the mirrored top edge), and
+ghost maintenance uses full-field roll+select (pltpu.roll is a native
+relayout), avoiding unaligned dynamic stores.
 
 Scalars (valid extent + h-derived float32 constants) arrive in SMEM.
-Grey constancy; gradient/log levels use the XLA path.
-
 Numerics match tpuflow.solver.bucketed._relax_dyn term by term (the same
-hoisted formulation); interpret-mode tests pin them together.
+hoisted formulation, modulo the documented T-iterate reassociation);
+interpret-mode tests pin them together.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -37,21 +64,38 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuflow.config import DataConstancy, FlowConfig
 
 CHUNK = 64
-# 10 persistent fields + chunk transients + full-field maintenance temps.
-VMEM_BUDGET_BYTES = 13 * 1024 * 1024
-PERSISTENT_ARRAYS = 11
+# 12 persistent (hb, wb) fields: u, v, Tu, Tv, TuB, TvB, phi and the five
+# hoisted per-outer tensor fields; plus chunk transients and the constant
+# stream buffers. The Mosaic VMEM request is sized per call below.
+#
+# TPU v5e has 128 MB of VMEM (measured on this chip: 117 MB of Pallas
+# scratch compiles and runs; round 1 assumed a 16 MB ceiling, which is
+# only Mosaic's DEFAULT vmem_limit_bytes). The budget below leaves ~20 MB
+# for chunk transients, which is what lets 1080p fine levels stay in the
+# kernel instead of falling back to XLA.
+PERSISTENT_ARRAYS = 12
+VMEM_BUDGET_BYTES = 108 * 1024 * 1024
+VMEM_LIMIT_BYTES = 127 * 1024 * 1024
 
 
 def _field_bytes(hb: int, wb: int) -> int:
     return hb * wb * 4  # bucket dims are already tile-aligned
 
 
+def n_const_fields(cfg: FlowConfig) -> int:
+    return 3 if cfg.data_constancy == DataConstancy.GREY else 8
+
+
 def relax_bucket_supported(hb: int, wb: int, cfg: FlowConfig) -> bool:
-    if cfg.data_constancy != DataConstancy.GREY:
-        return False
+    """All three data constancies are supported; the only gates are bucket
+    alignment and the VMEM working set."""
     if hb % CHUNK != 0 or wb % 128 != 0:
         return False
-    return PERSISTENT_ARRAYS * _field_bytes(hb, wb) <= VMEM_BUDGET_BYTES
+    need = (
+        PERSISTENT_ARRAYS * _field_bytes(hb, wb)
+        + n_const_fields(cfg) * CHUNK * wb * 4
+    )
+    return need <= VMEM_BUDGET_BYTES
 
 
 def _shift_xp(a):
@@ -71,21 +115,29 @@ def relax_bucket_fused(
     scalars,             # LevelScalars.tree() entries (traced 0-d)
     cfg: FlowConfig,
     *,
+    tensor: Optional[tuple] = None,  # (J11, J22, J12, J13, J23) for grad/log
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(du, dv) after the full relaxation; all inputs at bucket shape.
 
-    Takes the PRE-COMPUTED first derivatives fx, fy, ft (per-level
-    constants, reference: solve_2d.cu:311-321) instead of the frames: the
-    motion tensor is only ever read at the chunk CENTER, so hoisting the
-    derivative computation out of the kernel removes two halo-slab
-    assemblies and the tensor arithmetic from every phi/sweep pass with
-    bit-identical values.
+    Takes the PRE-COMPUTED grey first derivatives fx, fy, ft (per-level
+    constants, reference: solve_2d.cu:311-321) — always the GREY ones,
+    because ksi is computed from the grey motion tensor even for the
+    gradient/log solvers (reference quirk: cuda_operation_solve_2d.cpp:84)
+    — plus, for GRADIENT/LOG_DERIVATIVES, the second-order tensor fields
+    the solve update uses (solve_2d.cu:867-884). All of these stream from
+    HBM; only the iterates and per-outer hoists are VMEM-resident.
     """
-    (cw, ch, _, _, div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2) = scalars[:10]
+    (cw, ch, _, _, div2hx, div2hy, _, _, a_hx2, a_hy2) = scalars[:10]
     hb, wb = u.shape
     assert fx.shape == (hb, wb)
+    grey = cfg.data_constancy == DataConstancy.GREY
+    if not grey:
+        assert tensor is not None and len(tensor) == 5
+    consts = (fx, fy, ft) if grey else (fx, fy, ft, *tensor)
+    n_const = len(consts)
     n_chunks = hb // CHUNK
+    inner = cfg.inner_iterations_count
     F = np.float32
     e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
     e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
@@ -94,33 +146,33 @@ def relax_bucket_fused(
     smem_i = [jnp.asarray(x, jnp.int32).reshape(1, 1) for x in (cw, ch)]
     smem_f = [
         jnp.asarray(x, jnp.float32).reshape(1, 1)
-        for x in (div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2)
+        for x in (div2hx, div2hy, a_hx2, a_hy2)
     ]
 
-    def kernel(
-        cw_ref, ch_ref, d2x_ref, d2y_ref, d4x_ref, d4y_ref, ax_ref, ay_ref,
-        fx_ref, fy_ref, ft_ref, u_ref, v_ref,
-        du_ref, dv_ref,                      # outputs == iterate "A"
-        dub_ref, dvb_ref, phi_ref, ksi_ref,  # scratch "B" + phi/ksi
-    ):
+    def kernel(*refs):
+        (cw_ref, ch_ref, d2x_ref, d2y_ref, ax_ref, ay_ref, u_ref, v_ref) = refs[:8]
+        const_refs = refs[8:8 + n_const]      # HBM
+        (du_ref, dv_ref,                      # outputs; hold Tu, Tv in-loop
+         tub_ref, tvb_ref, phi_ref,
+         a12_ref, a13_ref, a23_ref, b11_ref, b22_ref,
+         cbuf, sem) = refs[8 + n_const:]
         cwv = cw_ref[0, 0]
         chv = ch_ref[0, 0]
         d2x = d2x_ref[0, 0]
         d2y = d2y_ref[0, 0]
-        d4x = d4x_ref[0, 0]
-        d4y = d4y_ref[0, 0]
         axv = ax_ref[0, 0]
         ayv = ay_ref[0, 0]
 
-        def maintain1(val):
-            """Full-field radius-1 mirror ghost maintenance on a VALUE:
+        def maintain1(ref):
+            """Full-field radius-1 mirror ghost maintenance IN PLACE:
             row chv := row chv-2, col cwv := col cwv-2."""
             ys = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
             xs = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+            val = ref[:]
             rolled_r = pltpu.roll(val, 2, 0)   # row r holds old row r-2
             val = jnp.where(ys == chv, rolled_r, val)
             rolled_c = pltpu.roll(val, 2, 1)
-            return jnp.where(xs == cwv, rolled_c, val)
+            ref[:] = jnp.where(xs == cwv, rolled_c, val)
 
         def slab(ref, i, s):
             """(CHUNK+2, wb) rows [s-1, s+CHUNK] with top mirror halo."""
@@ -130,8 +182,8 @@ def relax_bucket_fused(
             bot_start = pl.multiple_of(jnp.minimum(s + CHUNK, hb - 8), 8)
             bot = ref[pl.ds(bot_start, 8), :][0:1, :]
             # For the last chunk `bot` is an arbitrary finite ghost row —
-            # outputs there are ghost and the next maintenance rewrites the
-            # boundary row, so only finiteness matters.
+            # outputs there are ghost and never feed valid pixels (the
+            # free-boundary weights vanish at the valid edge).
             return jnp.concatenate([top, ref[pl.ds(s, CHUNK), :], bot], axis=0)
 
         def shifts(ref, i, s):
@@ -140,6 +192,8 @@ def relax_bucket_fused(
             return c, _shift_xp(c), _shift_xm(c), sl[2:, :], sl[:-2, :]
 
         def chunk_masks(s):
+            """Free-boundary alpha/h^2 weights at the traced valid extent
+            (reference: solve_2d.cu:333-340)."""
             ys = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, wb), 0) + s
             xs = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, wb), 1)
             xp_w = jnp.where(xs < cwv - 1, axv, 0.0)
@@ -148,41 +202,56 @@ def relax_bucket_fused(
             ym_w = jnp.where(ys > 0, ayv, 0.0)
             return xp_w, xm_w, yp_w, ym_w
 
-        def grey_derivs(i, s):
-            del i
-            return (
-                fx_ref[pl.ds(s, CHUNK), :],
-                fy_ref[pl.ds(s, CHUNK), :],
-                ft_ref[pl.ds(s, CHUNK), :],
-            )
-
-        def phi_chunk(i, carry):
+        def prologue_chunk(i, carry):
+            """phi + ksi-scaled tensor hoists for one 64-row chunk."""
             s = pl.multiple_of(i * CHUNK, CHUNK)
-            u_c, u_xp, u_xm, u_yp, u_ym = shifts(u_ref, i, s)
-            du_c, du_xp, du_xm, du_yp, du_ym = shifts(du_ref, i, s)
-            dux = (u_xp - u_xm + du_xp - du_xm) / d2x
-            duy = (u_yp - u_ym + du_yp - du_ym) / d2y
-            v_c, v_xp, v_xm, v_yp, v_ym = shifts(v_ref, i, s)
-            dv_c, dv_xp, dv_xm, dv_yp, dv_ym = shifts(dv_ref, i, s)
-            dvx = (v_xp - v_xm + dv_xp - dv_xm) / d2x
-            dvy = (v_yp - v_ym + dv_yp - dv_ym) / d2y
+            copies = [
+                pltpu.make_async_copy(
+                    const_refs[k].at[pl.ds(s, CHUNK), :], cbuf.at[k], sem.at[k]
+                )
+                for k in range(n_const)
+            ]
+            for c in copies:
+                c.start()
+            tu_c, tu_xp, tu_xm, tu_yp, tu_ym = shifts(du_ref, i, s)
+            tv_c, tv_xp, tv_xm, tv_yp, tv_ym = shifts(dv_ref, i, s)
+            dux = (tu_xp - tu_xm) / d2x
+            duy = (tu_yp - tu_ym) / d2y
+            dvx = (tv_xp - tv_xm) / d2x
+            dvy = (tv_yp - tv_ym) / d2y
             phi_ref[pl.ds(s, CHUNK), :] = 1.0 / (
                 2.0 * jnp.sqrt(dux * dux + duy * duy + dvx * dvx + dvy * dvy + e_s2)
             )
-            fx, fy, ft = grey_derivs(i, s)
+            du_c = tu_c - u_ref[pl.ds(s, CHUNK), :]
+            dv_c = tv_c - v_ref[pl.ds(s, CHUNK), :]
+            for c in copies:
+                c.wait()
+            fxc, fyc, ftc = cbuf[0], cbuf[1], cbuf[2]
             sq = (
-                (fx * fx * du_c + fx * fy * dv_c + fx * ft) * du_c
-                + (fx * fy * du_c + fy * fy * dv_c + fy * ft) * dv_c
-                + (fx * ft * du_c + fy * ft * dv_c + ft * ft)
+                (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
+                + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
+                + (fxc * ftc * du_c + fyc * ftc * dv_c + ftc * ftc)
             )
-            ksi_ref[pl.ds(s, CHUNK), :] = 1.0 / (
-                2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2)
-            )
+            ksi = 1.0 / (2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2))
+            if grey:
+                J11, J22 = fxc * fxc, fyc * fyc
+                J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
+            else:
+                J11, J22, J12, J13, J23 = (
+                    cbuf[3], cbuf[4], cbuf[5], cbuf[6], cbuf[7]
+                )
+            ds = pl.ds(s, CHUNK)
+            a12_ref[ds, :] = ksi * J12
+            a13_ref[ds, :] = ksi * J13
+            a23_ref[ds, :] = ksi * J23
+            b11_ref[ds, :] = ksi * J11
+            b22_ref[ds, :] = ksi * J22
             return carry
 
-        def make_sweep_chunk(src_du, src_dv, dst_du, dst_dv):
+        def make_sweep_chunk(src_tu, src_tv, dst_tu, dst_tv):
             def sweep_chunk(i, carry):
                 s = pl.multiple_of(i * CHUNK, CHUNK)
+                ds = pl.ds(s, CHUNK)
                 phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = shifts(phi_ref, i, s)
                 xp_w, xm_w, yp_w, ym_w = chunk_masks(s)
                 pw_xp = (phi_xp_n + phi_c) * 0.5 * xp_w
@@ -191,80 +260,94 @@ def relax_bucket_fused(
                 pw_ym = (phi_ym_n + phi_c) * 0.5 * ym_w
                 sumH = pw_xp + pw_xm + pw_yp + pw_ym
 
-                u_c, u_xp, u_xm, u_yp, u_ym = shifts(u_ref, i, s)
-                du_c, du_xp, du_xm, du_yp, du_ym = shifts(src_du, i, s)
+                u_c = u_ref[ds, :]
+                v_c = v_ref[ds, :]
+                tu_c, tu_xp, tu_xm, tu_yp, tu_ym = shifts(src_tu, i, s)
                 sumU = (
-                    pw_xp * (u_xp + du_xp - u_c)
-                    + pw_xm * (u_xm + du_xm - u_c)
-                    + pw_yp * (u_yp + du_yp - u_c)
-                    + pw_ym * (u_ym + du_ym - u_c)
+                    pw_xp * (tu_xp - u_c)
+                    + pw_xm * (tu_xm - u_c)
+                    + pw_yp * (tu_yp - u_c)
+                    + pw_ym * (tu_ym - u_c)
                 )
-                v_c, v_xp, v_xm, v_yp, v_ym = shifts(v_ref, i, s)
-                dv_c, dv_xp, dv_xm, dv_yp, dv_ym = shifts(src_dv, i, s)
+                tv_c, tv_xp, tv_xm, tv_yp, tv_ym = shifts(src_tv, i, s)
                 sumV = (
-                    pw_xp * (v_xp + dv_xp - v_c)
-                    + pw_xm * (v_xm + dv_xm - v_c)
-                    + pw_yp * (v_yp + dv_yp - v_c)
-                    + pw_ym * (v_ym + dv_ym - v_c)
+                    pw_xp * (tv_xp - v_c)
+                    + pw_xm * (tv_xm - v_c)
+                    + pw_yp * (tv_yp - v_c)
+                    + pw_ym * (tv_ym - v_c)
                 )
 
-                fx, fy, ft = grey_derivs(i, s)
-                ksi_c = ksi_ref[pl.ds(s, CHUNK), :]
+                dv_c = tv_c - v_c
                 # Same association as the hoisted XLA path
-                # (tpuflow.solver.bucketed._relax_dyn): -a13 - a12*dv + sumU.
-                a12 = ksi_c * (fx * fy)
-                new_du = (-(ksi_c * (fx * ft)) - a12 * dv_c + sumU) / (
-                    ksi_c * (fx * fx) + sumH
+                # (tpuflow.solver.bucketed._relax_dyn): -a13 - a12*dv + sumU,
+                # denominators b + sumH; dv* uses the fresh du*
+                # (reference: solve_2d.cu:361-367).
+                new_du = (-a13_ref[ds, :] - a12_ref[ds, :] * dv_c + sumU) / (
+                    b11_ref[ds, :] + sumH
                 )
-                new_dv = (-(ksi_c * (fy * ft)) - a12 * new_du + sumV) / (
-                    ksi_c * (fy * fy) + sumH
+                new_dv = (-a23_ref[ds, :] - a12_ref[ds, :] * new_du + sumV) / (
+                    b22_ref[ds, :] + sumH
                 )
-                dst_du[pl.ds(s, CHUNK), :] = new_du
-                dst_dv[pl.ds(s, CHUNK), :] = new_dv
+                dst_tu[ds, :] = u_c + new_du
+                dst_tv[ds, :] = v_c + new_dv
                 return carry
 
             return sweep_chunk
 
-        du_ref[:] = jnp.zeros((hb, wb), jnp.float32)
-        dv_ref[:] = jnp.zeros((hb, wb), jnp.float32)
+        # Tu = u + 0, Tv = v + 0 (du/dv zero-init, reference
+        # cuda_operation_solve_2d.cpp:229-232).
+        du_ref[:] = u_ref[:]
+        dv_ref[:] = v_ref[:]
 
         def outer_body(_, carry):
-            jax.lax.fori_loop(0, n_chunks, phi_chunk, 0)
-            phi_ref[:] = maintain1(phi_ref[:])
-            for j in range(cfg.inner_iterations_count):
+            # Mirror ghosts at the valid edge for the phi gradient pass —
+            # the only consumer of unmasked neighbor values.
+            maintain1(du_ref)
+            maintain1(dv_ref)
+            jax.lax.fori_loop(0, n_chunks, prologue_chunk, 0)
+            for j in range(inner):
                 if j % 2 == 0:
-                    bufs = (du_ref, dv_ref, dub_ref, dvb_ref)
+                    bufs = (du_ref, dv_ref, tub_ref, tvb_ref)
                 else:
-                    bufs = (dub_ref, dvb_ref, du_ref, dv_ref)
+                    bufs = (tub_ref, tvb_ref, du_ref, dv_ref)
                 jax.lax.fori_loop(0, n_chunks, make_sweep_chunk(*bufs), 0)
-                bufs[2][:] = maintain1(bufs[2][:])
-                bufs[3][:] = maintain1(bufs[3][:])
-            if cfg.inner_iterations_count % 2 == 1:
-                du_ref[:] = dub_ref[:]
-                dv_ref[:] = dvb_ref[:]
+            if inner % 2 == 1:
+                du_ref[:] = tub_ref[:]
+                dv_ref[:] = tvb_ref[:]
             return carry
 
         jax.lax.fori_loop(0, cfg.outer_iterations_count, outer_body, 0)
+        du_ref[:] = du_ref[:] - u_ref[:]
+        dv_ref[:] = dv_ref[:] - v_ref[:]
 
     field = lambda: pltpu.VMEM((hb, wb), jnp.float32)  # noqa: E731
-    smem = lambda dt: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    total = cfg.outer_iterations_count * (cfg.inner_iterations_count + 1)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    total = cfg.outer_iterations_count * (inner + 1)
     return pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((hb, wb), jnp.float32),
             jax.ShapeDtypeStruct((hb, wb), jnp.float32),
         ),
-        in_specs=[smem(None)] * 8 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=(
+            [smem()] * 6
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [pl.BlockSpec(memory_space=pl.ANY)] * n_const
+        ),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[field(), field(), field(), field()],
+        scratch_shapes=[field() for _ in range(8)]
+        + [
+            pltpu.VMEM((n_const, CHUNK, wb), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_const,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         cost_estimate=pl.CostEstimate(
-            flops=80 * hb * wb * total,
-            bytes_accessed=6 * 4 * hb * wb,
+            flops=70 * hb * wb * total,
+            bytes_accessed=(6 + n_const * cfg.outer_iterations_count) * 4 * hb * wb,
             transcendentals=2 * hb * wb * cfg.outer_iterations_count,
         ),
         interpret=interpret,
-    )(*smem_i, *smem_f, fx, fy, ft, u, v)
+    )(*smem_i, *smem_f, u, v, *consts)

@@ -63,21 +63,27 @@ def bucket_dims(cw: int, ch: int) -> Tuple[int, int]:
     return hb, wb
 
 
-def maintain_mirror2(a: jax.Array, cw, ch) -> jax.Array:
-    """Write mirror ghost rows [ch, ch+2) and cols [cw, cw+2).
+def maintain_mirror(a: jax.Array, cw, ch, r: int) -> jax.Array:
+    """Write mirror ghost rows [ch, ch+r) and cols [cw, cw+r).
 
-    Row ch := row ch-2, row ch+1 := row ch-3 (the reference mirror index
-    2h-r-2); then the same for columns, so the ghost corner is the 2D
-    reflection. Requires ch+2 <= Hb and cw+2 <= Wb (bucket SLACK) and
-    ch, cw >= 3 (guaranteed: levels have min dim 4). Radius 2 covers the
-    median window; stencil ops only need `maintain_mirror1`.
+    Row ch+k := row ch-2-k (the reference mirror index 2h-y-2); then the
+    same for columns, so the ghost corner is the 2D reflection. Requires
+    ch+r <= Hb and cw+r <= Wb (bucket SLACK=8) and ch, cw >= r+1
+    (guaranteed: levels have min dim 4 and r <= 3). Radius ceil((side-1)/2)
+    covers a median window of the given side; stencil ops only need
+    `maintain_mirror1`.
     """
     hb, wb = a.shape
-    rows = jax.lax.dynamic_slice(a, (ch - 3, 0), (2, wb))[::-1, :]
+    rows = jax.lax.dynamic_slice(a, (ch - r - 1, 0), (r, wb))[::-1, :]
     a = jax.lax.dynamic_update_slice(a, rows, (ch, 0))
-    cols = jax.lax.dynamic_slice(a, (0, cw - 3), (hb, 2))[:, ::-1]
+    cols = jax.lax.dynamic_slice(a, (0, cw - r - 1), (hb, r))[:, ::-1]
     a = jax.lax.dynamic_update_slice(a, cols, (0, cw))
     return a
+
+
+def maintain_mirror2(a: jax.Array, cw, ch) -> jax.Array:
+    """Radius-2 ghost maintenance (covers the default radius-5 median)."""
+    return maintain_mirror(a, cw, ch, 2)
 
 
 def maintain_mirror1(a: jax.Array, cw, ch) -> jax.Array:
@@ -126,6 +132,11 @@ class LevelScalars:
     h0f: np.float32
     prev_cwf: np.float32  # previous level's valid flow extent
     prev_chf: np.float32
+    # float32(1/(2h)) rounded from float64, NOT the f32 reciprocal of the
+    # f32-rounded 2h — keeps the bucketed grad/log tensor bit-matched to
+    # the per-shape engine's baked constants (solver_ops._second_order_tensor).
+    hx_1: np.float32
+    hy_1: np.float32
 
     @staticmethod
     def make(
@@ -152,6 +163,8 @@ class LevelScalars:
             h0f=F(h0),
             prev_cwf=F(prev_cw),
             prev_chf=F(prev_ch),
+            hx_1=F(1.0 / (2.0 * hx)),
+            hy_1=F(1.0 / (2.0 * hy)),
         )
 
     def tree(self):
@@ -284,10 +297,63 @@ def _pallas_relax_wanted(hb: int, wb: int, cfg: FlowConfig) -> bool:
     return platform == "tpu" and relax_bucket_supported(hb, wb, cfg)
 
 
-def _pshifts_local(a):
+def level_constants(f0_l, f1_w, sc, cfg: FlowConfig):
+    """Per-level motion-tensor constants at bucket shape.
+
+    Returns (fx, fy, ft, (J11, J22, J12, J13, J23)):
+      * fx, fy, ft — the GREY first derivatives, frame-averaged /4h
+        (reference: solve_2d.cu:311-321). Always computed: ksi comes from
+        the grey motion tensor even for the gradient/log solvers
+        (reference quirk: cuda_operation_solve_2d.cpp:84).
+      * J* — the motion tensor the solve update uses: grey products, or
+        the second-order tensor from (log-)derivative fields with
+        REPLICATE boundary (reference: solve_2d.cu:798-884; log uses
+        log(1+I), :508-524).
+    """
     from tpuflow.ops.solver_ops import _shifts
 
-    return _shifts(a)
+    (cw, ch, _, _, _, _, div4hx, div4hy, _, _) = sc[:10]
+
+    def first_derivs(a, b):
+        a_c, a_xp, a_xm, a_yp, a_ym = _shifts(a)
+        b_c, b_xp, b_xm, b_yp, b_ym = _shifts(b)
+        fx = (a_xp - a_xm + b_xp - b_xm) / div4hx
+        fy = (a_yp - a_ym + b_yp - b_ym) / div4hy
+        ft = b_c - a_c
+        return fx, fy, ft
+
+    fx, fy, ft = first_derivs(f0_l, f1_w)
+
+    if cfg.data_constancy == DataConstancy.GREY:
+        J = (fx * fx, fy * fy, fx * fy, fx * ft, fy * ft)
+        return fx, fy, ft, J
+
+    from tpuflow.ops.solver_ops import _shifts_edge
+
+    if cfg.data_constancy == DataConstancy.LOG_DERIVATIVES:
+        gx, gy, gt = first_derivs(jnp.log1p(f0_l), jnp.log1p(f1_w))
+    else:
+        gx, gy, gt = fx, fy, ft
+    # Replicate ghosts so the concat edge shifts see the reference's
+    # boundary rule at the valid edge.
+    gx = maintain_replicate1(gx, cw, ch)
+    gy = maintain_replicate1(gy, cw, ch)
+    gt = maintain_replicate1(gt, cw, ch)
+    hx_1, hy_1 = sc[18], sc[19]  # host-rounded float32(1/(2h))
+    gx_xp, gx_xm, gx_yp, gx_ym = _shifts_edge(gx)
+    gy_xp, gy_xm, gy_yp, gy_ym = _shifts_edge(gy)
+    gt_xp, gt_xm, gt_yp, gt_ym = _shifts_edge(gt)
+    fxx = (gx_xp - gx_xm) * hx_1
+    fxy = (gx_yp - gx_ym) * hy_1
+    fyy = (gy_yp - gy_ym) * hy_1
+    fxt = (gt_xp - gt_xm) * hx_1
+    fyt = (gt_yp - gt_ym) * hy_1
+    J11 = fxx * fxx + fxy * fxy
+    J22 = fxy * fxy + fyy * fyy
+    J12 = fxx * fxy + fxy * fyy
+    J13 = fxx * fxt + fxy * fyt
+    J23 = fxy * fxt + fyy * fyt
+    return fx, fy, ft, (J11, J22, J12, J13, J23)
 
 
 def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig, use_pallas=None):
@@ -309,70 +375,25 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig, use_pallas=None):
     """
     from tpuflow.ops.solver_ops import _shifts
 
+    (cw, ch, _, _, div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2) = sc[:10]
+
+    fx, fy, ft, (J11, J22, J12, J13, J23) = level_constants(f0_l, f1_w, sc, cfg)
+
     if use_pallas is None:
         use_pallas = _pallas_relax_wanted(*u.shape, cfg)
     if use_pallas:
         from tpuflow.ops.pallas.relax_bucket import relax_bucket_fused
 
-        # The motion-tensor derivatives are per-level constants, read only
-        # at stencil centers — compute them once here (same mirror shifts,
-        # bit-identical to the in-kernel recompute they replace).
-        (_, _, _, _, _, _, div4hx, div4hy, _, _) = sc[:10]
-        f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _pshifts_local(f0_l)
-        f1_c, f1_xp, f1_xm, f1_yp, f1_ym = _pshifts_local(f1_w)
-        fx = (f0_xp - f0_xm + f1_xp - f1_xm) / div4hx
-        fy = (f0_yp - f0_ym + f1_yp - f1_ym) / div4hy
-        ft = f1_c - f0_c
-        return relax_bucket_fused(fx, fy, ft, u, v, sc, cfg)
+        tensor = (
+            None
+            if cfg.data_constancy == DataConstancy.GREY
+            else (J11, J22, J12, J13, J23)
+        )
+        return relax_bucket_fused(fx, fy, ft, u, v, sc, cfg, tensor=tensor)
 
-    (cw, ch, _, _, div2hx, div2hy, div4hx, div4hy, a_hx2, a_hy2) = sc[:10]
     F = np.float32
     e_s2 = F(cfg.equation_smoothness) * F(cfg.equation_smoothness)
     e_d2 = F(cfg.equation_data) * F(cfg.equation_data)
-
-    # ---- per-level constants: the motion tensor for the data term ----
-    def first_derivs(a, b):
-        a_c, a_xp, a_xm, a_yp, a_ym = _shifts(a)
-        b_c, b_xp, b_xm, b_yp, b_ym = _shifts(b)
-        fx = (a_xp - a_xm + b_xp - b_xm) / div4hx
-        fy = (a_yp - a_ym + b_yp - b_ym) / div4hy
-        ft = b_c - a_c
-        return fx, fy, ft
-
-    if cfg.data_constancy == DataConstancy.GREY:
-        fx, fy, ft = first_derivs(f0_l, f1_w)
-        J11, J22 = fx * fx, fy * fy
-        J12, J13, J23 = fx * fy, fx * ft, fy * ft
-    else:
-        # Gradient / log-derivative constancy: second-order tensor from the
-        # first-derivative fields with REPLICATE boundary
-        # (reference: solve_2d.cu:798-884; log uses log(1+I), :508-524).
-        from tpuflow.ops.solver_ops import _shifts_edge
-
-        if cfg.data_constancy == DataConstancy.LOG_DERIVATIVES:
-            fx, fy, ft = first_derivs(jnp.log1p(f0_l), jnp.log1p(f1_w))
-        else:
-            fx, fy, ft = first_derivs(f0_l, f1_w)
-        # Replicate ghosts so the concat edge shifts see the reference's
-        # boundary rule at the valid edge.
-        fx = maintain_replicate1(fx, cw, ch)
-        fy = maintain_replicate1(fy, cw, ch)
-        ft = maintain_replicate1(ft, cw, ch)
-        hx_1 = 1.0 / div2hx
-        hy_1 = 1.0 / div2hy
-        fx_xp, fx_xm, fx_yp, fx_ym = _shifts_edge(fx)
-        fy_xp, fy_xm, fy_yp, fy_ym = _shifts_edge(fy)
-        ft_xp, ft_xm, ft_yp, ft_ym = _shifts_edge(ft)
-        fxx = (fx_xp - fx_xm) * hx_1
-        fxy = (fx_yp - fx_ym) * hy_1
-        fyy = (fy_yp - fy_ym) * hy_1
-        fxt = (ft_xp - ft_xm) * hx_1
-        fyt = (ft_yp - ft_ym) * hy_1
-        J11 = fxx * fxx + fxy * fxy
-        J22 = fxy * fxy + fyy * fyy
-        J12 = fxx * fxy + fxy * fyy
-        J13 = fxx * fxt + fxy * fyt
-        J23 = fxy * fxt + fyy * fyt
     xp_w, xm_w, yp_w, ym_w = edge_weights_dyn(u.shape, cw, ch, a_hx2, a_hy2)
 
     du0 = jnp.zeros_like(u)
@@ -443,10 +464,11 @@ def bucketed_level_step(
     top_bucket: Tuple[int, int],
     cfg: FlowConfig,
     use_pallas=None,
+    relax_fn=None,   # override: (f0_l, f1_w, u, v, scalars, cfg) -> (du, dv)
 ):
     """One pyramid level at a bucket shape; returns flow at the top bucket."""
     (cw, ch, inv_hx, inv_hy, _d2x, _d2y, _d4x, _d4y, _ax, _ay, wlim, hlim,
-     cwf, chf, w0f, h0f, prev_cwf, prev_chf) = scalars
+     cwf, chf, w0f, h0f, prev_cwf, prev_chf) = scalars[:18]
     hb, wb = bucket
     h0b, w0b = top_bucket
 
@@ -479,14 +501,19 @@ def bucketed_level_step(
     f1_w = warp_dyn(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim)
     f1_w = maintain_mirror1(f1_w, cw, ch)
 
-    du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg, use_pallas=use_pallas)
+    if relax_fn is not None:
+        du, dv = relax_fn(f0_l, f1_w, u, v, scalars, cfg)
+    else:
+        du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg, use_pallas=use_pallas)
 
     u = u + du
     v = v + dv
-    # Median reads a radius-2 window: refresh the ghost region of the
-    # summed flow (du carries only radius-1 ghosts from the sweeps).
-    u = maintain_mirror2(u, cw, ch)
-    v = maintain_mirror2(v, cw, ch)
+    # The median reads a (side-1)//2-radius window: refresh that many ghost
+    # rows/cols of the summed flow (du carries only radius-1 ghosts from
+    # the sweeps). radius 3 for the side-7 window; SLACK=8 leaves room.
+    ghost_r = max(2, (cfg.median_radius - 1) // 2)
+    u = maintain_mirror(u, cw, ch, ghost_r)
+    v = maintain_mirror(v, cw, ch, ghost_r)
     u = median(u, cfg.median_radius)
     v = median(v, cfg.median_radius)
 
@@ -691,17 +718,23 @@ def compiled_full_pipeline_batched(orig_shape: Tuple[int, int], batch: int,
 
 @functools.lru_cache(maxsize=64)
 def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
-                                   y_axis: str, cfg: FlowConfig):
+                                   y_axis: str, cfg: FlowConfig,
+                                   halo: str = "explicit"):
     """Single-dispatch pipeline with rows sharded over the mesh's spatial
     axis — the SURVEY §2.7 spatial domain decomposition.
 
     Every bucket dimension is a multiple of 64 rows, so row sharding
-    divides evenly for any power-of-two axis size; GSPMD partitions the
-    stencil shifts into 1-row halo exchanges over ICI and the resample
-    matmuls into partial contractions. Interior shard edges get true
-    neighbor rows from the collectives while the valid-edge mirror
-    semantics stay in the ghost-maintenance updates — no hand-written halo
-    code.
+    divides evenly for any power-of-two axis size.
+
+    halo="explicit" (default): the relaxation — ~95% of per-level work —
+    runs as a shard_map with ONE ppermute exchange of an
+    (inner_iterations+1)-row halo per outer iteration and redundant
+    in-halo computation (tpuflow.parallel.halo); buckets too small for a
+    halo block replicate on the XLA path. Resample/warp/median stay GSPMD.
+
+    halo="gspmd": everything left to GSPMD, which partitions each stencil
+    shift separately (~30 1-row collective-permutes per outer iteration —
+    the latency-bound baseline the explicit path exists to beat).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -718,6 +751,19 @@ def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
             return jax.lax.with_sharding_constraint(a, row_sharding)
         return a  # tiny buckets: replicate (GSPMD's choice)
 
+    def relax_for(bucket):
+        if halo != "explicit":
+            return None
+        from tpuflow.parallel.halo import halo_applicable, relax_sharded
+
+        if not halo_applicable(bucket[0], n_y, cfg):
+            return None
+
+        def fn(f0_l, f1_w, uu, vv, sc, cfg_):
+            return relax_sharded(f0_l, f1_w, uu, vv, sc, cfg_, mesh, y_axis)
+
+        return fn
+
     @jax.jit
     def run(f0, f1):
         f0s = gaussian_smooth(f0, cfg.gaussian_sigma)
@@ -729,12 +775,14 @@ def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
         u = jnp.zeros((h0b, w0b), jnp.float32)
         v = jnp.zeros_like(u)
         for bucket, stacked in groups:
-            def body(carry, sc, bucket=bucket):
-                # use_pallas=False: the full-array VMEM kernel would defeat
-                # GSPMD row sharding; the XLA path partitions cleanly.
+            relax_fn = relax_for(bucket)
+
+            def body(carry, sc, bucket=bucket, relax_fn=relax_fn):
+                # use_pallas=False on the XLA fallback: the full-array VMEM
+                # kernel would defeat GSPMD row sharding.
                 uu, vv = bucketed_level_step(
                     f0s, f1s, carry[0], carry[1], sc, bucket, top_bucket, cfg,
-                    use_pallas=False,
+                    use_pallas=False, relax_fn=relax_fn,
                 )
                 return (constrain(uu, h0b), constrain(vv, h0b)), None
 
@@ -747,16 +795,20 @@ def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
 
 
 def compute_flow_bucketed_sharded(frame_0, frame_1, cfg: FlowConfig = None,
-                                  mesh=None, y_axis: str = "y"):
+                                  mesh=None, y_axis: str = "y",
+                                  halo: str = "explicit"):
     """Single frame pair with image rows sharded over the mesh (for frames
-    too large for one chip, BASELINE configs[3]). Returns DEVICE arrays."""
+    too large for one chip, BASELINE configs[3]). Returns DEVICE arrays.
+
+    halo: "explicit" (shard_map + one widened ppermute exchange per outer,
+    the default) or "gspmd" (compiler-partitioned stencils)."""
     from tpuflow.parallel.mesh import make_mesh
 
     cfg = cfg or FlowConfig()
     mesh = mesh or make_mesh()
     f0 = jnp.asarray(frame_0, dtype=jnp.float32)
     f1 = jnp.asarray(frame_1, dtype=jnp.float32)
-    run = compiled_full_pipeline_sharded(f0.shape, mesh, y_axis, cfg)
+    run = compiled_full_pipeline_sharded(f0.shape, mesh, y_axis, cfg, halo)
     return run(f0, f1)
 
 
@@ -819,7 +871,10 @@ def warmup_bucketed(orig_shape: Tuple[int, int], cfg: FlowConfig,
     t0 = time.perf_counter()
     h0, w0 = orig_shape
     zeros_frame = jnp.zeros((h0, w0), jnp.float32)
-    jax.block_until_ready(compiled_full_pipeline(orig_shape, cfg)(zeros_frame, zeros_frame))
+    # Fence with device_get: jax.block_until_ready returns early through
+    # tunneled dispatch paths, so it would let the first timed run eat the
+    # compile+execute tail (CLAUDE.md).
+    np.asarray(compiled_full_pipeline(orig_shape, cfg)(zeros_frame, zeros_frame)[0])
 
     if grouped:
         specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
@@ -831,10 +886,10 @@ def warmup_bucketed(orig_shape: Tuple[int, int], cfg: FlowConfig,
         def compile_group(group):
             bucket, stacked = group
             fn = compiled_bucketed_group(bucket, top_bucket, stacked[0].shape[0], cfg)
-            jax.block_until_ready(fn(zeros, zeros, zeros, zeros, stacked))
+            np.asarray(fn(zeros, zeros, zeros, zeros, stacked)[0])
 
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             list(ex.map(compile_group, groups))
         smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
-        jax.block_until_ready(smooth(zeros_frame))
+        np.asarray(smooth(zeros_frame))
     return time.perf_counter() - t0

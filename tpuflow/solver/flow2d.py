@@ -222,12 +222,15 @@ _WARMED: set = set()
 
 
 def warmup(orig_shape: Tuple[int, int], cfg: FlowConfig, max_workers: int = 16) -> float:
-    """Concurrently AOT-compile every level program for a workload shape.
+    """Concurrently warm every level program for a workload shape.
 
-    XLA compilation of the ~46 per-level programs is embarrassingly parallel
-    (and on remote-compile backends the server parallelizes too): a thread
-    pool cuts cold-start from minutes to tens of seconds. Returns wall
-    seconds spent. Idempotent per (shape, cfg) within the process.
+    Warms by CALLING each jitted program with zero arrays and fencing with
+    device_get: ``.lower().compile()`` does NOT populate the jit dispatch
+    cache, so an AOT-only warmup still pays the full compile inside the
+    first (timed) real call on remote-compile backends. XLA compilation of
+    the ~46 per-level programs is embarrassingly parallel, so a thread pool
+    cuts cold-start from minutes to tens of seconds. Returns wall seconds
+    spent. Idempotent per (shape, cfg) within the process.
     """
     key = (orig_shape, cfg)
     if key in _WARMED:
@@ -235,21 +238,21 @@ def warmup(orig_shape: Tuple[int, int], cfg: FlowConfig, max_workers: int = 16) 
     t0 = time.perf_counter()
     orig_h, orig_w = orig_shape
     specs = level_schedule(orig_w, orig_h, cfg.warp_levels_count, cfg.warp_scale_factor)
-    frame = jax.ShapeDtypeStruct((orig_h, orig_w), jnp.float32)
+    frame = jnp.zeros((orig_h, orig_w), jnp.float32)
 
     def compile_level(i: int):
         spec = specs[i]
         prev = specs[i - 1] if i > 0 else spec
         prev_shape = (prev.height, prev.width)
-        flow = jax.ShapeDtypeStruct(prev_shape, jnp.float32)
+        flow = jnp.zeros(prev_shape, jnp.float32)
         fn = compiled_level_step(spec, cfg, prev_shape)
-        fn.lower(frame, frame, flow, flow).compile()
+        np.asarray(fn(frame, frame, flow, flow)[0])
 
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         list(ex.map(compile_level, range(len(specs))))
-    _compiled_smooth(cfg.gaussian_sigma).lower(frame).compile()
+    np.asarray(_compiled_smooth(cfg.gaussian_sigma)(frame))
     _WARMED.add(key)
     return time.perf_counter() - t0
 

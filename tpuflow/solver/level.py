@@ -39,28 +39,6 @@ from tpuflow.ops.warp import warp
 from tpuflow.pyramid import LevelSpec
 
 
-def _pallas_wanted(h: int, w: int, cfg: FlowConfig) -> bool:
-    """Whether the per-shape engine should use the static-shape Pallas
-    kernel (tpuflow.ops.pallas.relax).
-
-    Off unless TPUFLOW_LEVELS_PALLAS=1: the per-shape kernel compiles one
-    Mosaic program per level shape (minutes on remote-compile backends) and
-    measured no faster than the XLA path; the production engine is the
-    bucketed one, whose kernel (ops.pallas.relax_bucket) is shape-shared.
-    """
-    import os
-
-    if os.environ.get("TPUFLOW_LEVELS_PALLAS") != "1":
-        return False
-    from tpuflow.ops.pallas.relax import relax_supported
-
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover - backendless tracing contexts
-        platform = "cpu"
-    return platform == "tpu" and relax_supported(h, w, cfg)
-
-
 def relax(
     f0_l: jax.Array,
     f1_w: jax.Array,
@@ -69,17 +47,16 @@ def relax(
     hx: float,
     hy: float,
     cfg: FlowConfig,
-    use_pallas: bool = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Outer x inner lagged-nonlinearity relaxation; returns (du, dv)."""
+    """Outer x inner lagged-nonlinearity relaxation; returns (du, dv).
+
+    Always the XLA scan path: the per-shape engine exists for per-level
+    tracing and CPU test parity; the production fast path is the bucketed
+    engine's Pallas kernel (tpuflow.ops.pallas.relax_bucket). A per-shape
+    Pallas variant was measured no faster in round 1 and deleted (see
+    tpuflow.ops.pallas docstring for its surviving lessons).
+    """
     h, w = u.shape
-    if use_pallas is None:
-        use_pallas = _pallas_wanted(h, w, cfg)
-    if use_pallas:
-        from tpuflow.ops.pallas.relax import relax_fused
-
-        return relax_fused(f0_l, f1_w, u, v, hx, hy, cfg)
-
     # XLA scan path on mirror-padded fields: every stencil shift is a pure
     # slice of one padded buffer, so each sweep materializes only the
     # re-padded du/dv instead of 4 shifted copies per field (several-fold
@@ -124,9 +101,10 @@ def level_step(
     v_prev: jax.Array,
     spec: LevelSpec,
     cfg: FlowConfig,
-    use_pallas: bool = None,
+    use_pallas: bool = None,  # accepted for API compat; per-shape relax is XLA-only
 ) -> Tuple[jax.Array, jax.Array]:
     """One coarse-to-fine level; returns the refined (u, v) at level size."""
+    del use_pallas
     cw, ch, hx, hy = spec.width, spec.height, spec.hx, spec.hy
 
     f0_l = resample(frame_0_full, cw, ch)
@@ -137,7 +115,7 @@ def level_step(
 
     f1_w = warp(f0_l, f1_l, u, v, hx, hy)
 
-    du, dv = relax(f0_l, f1_w, u, v, hx, hy, cfg, use_pallas=use_pallas)
+    du, dv = relax(f0_l, f1_w, u, v, hx, hy, cfg)
 
     u = u + du
     v = v + dv
