@@ -43,30 +43,33 @@ def setup(HB=128, WB=256, cw=200, ch=100, seed=4):
     return f0, f1, u, v, sc, (cw, ch)
 
 
-def run_kernel(f0, f1, u, v, sc, cfg):
+def run_kernel(f0, f1, u, v, sc, cfg, mode=None):
     fx, fy, ft, J = level_constants(f0, f1, sc.tree(), cfg)
     tensor = None if cfg.data_constancy == DataConstancy.GREY else J
     return relax_bucket_fused(
-        fx, fy, ft, u, v, sc.tree(), cfg, tensor=tensor, interpret=True
+        fx, fy, ft, u, v, sc.tree(), cfg, tensor=tensor, interpret=True,
+        force_mode=mode,
     )
 
 
+@pytest.mark.parametrize("mode", ["full", "chunked"])
 @pytest.mark.parametrize(
     "constancy",
     [DataConstancy.GREY, DataConstancy.GRADIENT, DataConstancy.LOG_DERIVATIVES],
 )
-def test_single_sweep_matches_xla(constancy):
+def test_single_sweep_matches_xla(constancy, mode):
     f0, f1, u, v, sc, (cw, ch) = setup()
     cfg = FlowConfig(
         outer_iterations_count=1, inner_iterations_count=1, data_constancy=constancy
     )
     want = _relax_dyn(f0, f1, u, v, sc.tree(), cfg, use_pallas=False)
-    got = run_kernel(f0, f1, u, v, sc, cfg)
+    got = run_kernel(f0, f1, u, v, sc, cfg, mode)
     for g, w in zip(got, want):
         d = np.abs(np.asarray(g)[:ch, :cw] - np.asarray(w)[:ch, :cw])
-        assert d.max() < 1e-5, (constancy, d.max())
+        assert d.max() < 1e-5, (constancy, mode, d.max())
 
 
+@pytest.mark.parametrize("mode", ["full", "chunked"])
 @pytest.mark.parametrize(
     "outer,inner,constancy",
     [
@@ -76,7 +79,7 @@ def test_single_sweep_matches_xla(constancy):
         (2, 3, DataConstancy.LOG_DERIVATIVES),
     ],
 )
-def test_multi_iteration_mean_epe_bounded(outer, inner, constancy):
+def test_multi_iteration_mean_epe_bounded(outer, inner, constancy, mode):
     f0, f1, u, v, sc, (cw, ch) = setup()
     cfg = FlowConfig(
         outer_iterations_count=outer,
@@ -84,7 +87,7 @@ def test_multi_iteration_mean_epe_bounded(outer, inner, constancy):
         data_constancy=constancy,
     )
     want = _relax_dyn(f0, f1, u, v, sc.tree(), cfg, use_pallas=False)
-    got = run_kernel(f0, f1, u, v, sc, cfg)
+    got = run_kernel(f0, f1, u, v, sc, cfg, mode)
     epe = np.hypot(
         np.asarray(got[0])[:ch, :cw] - np.asarray(want[0])[:ch, :cw],
         np.asarray(got[1])[:ch, :cw] - np.asarray(want[1])[:ch, :cw],

@@ -45,15 +45,19 @@ class FlowConfig:
     gaussian_sigma: float = 1.5
     data_constancy: DataConstancy = DataConstancy.GREY
 
-    # Reference-quirk emulation (RESERVED, not yet implemented): the
-    # gradient/log solve kernels stage first derivatives in shared memory
-    # with REPLICATED halos at 16x8 CUDA block borders (reference:
-    # src/kernels/solve_2d.cu:813-841), and the log variant additionally
-    # loads the block's own edge column into its halo (reference:
-    # src/kernels/solve_2d.cu:448,462). tpuflow uses the mathematically
-    # clean global neighbors; setting this True raises until the blocking
-    # emulation lands.
-    grad_block_parity: bool = False
+    # NOTE on gradient/log reference parity: the reference's grad/log
+    # solve kernels carry 16x8-CUDA-block halo artifacts — the grad kernel
+    # stages first derivatives with REPLICATED halos at block borders
+    # (reference: src/kernels/solve_2d.cu:813-841), and the log kernel's
+    # input-tile halo loads are off by one (:449,:463,:476,:490 — every
+    # block border reads the block's own edge cell), distorting the first
+    # derivatives AND the smoothness sums; partial edge blocks even read
+    # uninitialized shared memory. tpuflow deliberately uses the clean
+    # global stencils. The artifact is emulated in the NumPy oracle
+    # (tpuflow.oracle, block_emulation=True) and QUANTIFIED on the rub
+    # pair in BASELINE.md ("CUDA-block halo artifact") — that bound is the
+    # documented deviation between this framework and the reference binary
+    # for grad/log; there is no runtime flag to reproduce the bug.
 
     def __post_init__(self):
         if self.warp_scale_factor <= 0.0 or self.warp_scale_factor >= 1.0:
@@ -66,11 +70,6 @@ class FlowConfig:
             # Same limit as the reference host wrapper
             # (reference: src/cuda_operations/2d/cuda_operation_median_2d.cpp:152-154).
             raise ValueError("median_radius > 7 is not supported")
-        if self.grad_block_parity:
-            raise NotImplementedError(
-                "grad_block_parity (CUDA-block halo emulation) is reserved "
-                "and not implemented yet"
-            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -98,6 +98,14 @@ def relax_bucket_supported(hb: int, wb: int, cfg: FlowConfig) -> bool:
     return need <= VMEM_BUDGET_BYTES
 
 
+def fits_full(hb: int, wb: int, cfg: FlowConfig) -> bool:
+    """Whether the UNCHUNKED variant fits: 15 persistent fields (6 iterate
+    + 4 half-point diffusivity weights + 5 tensor/denominator hoists),
+    VMEM-resident constants, and ~16 live full-field transients per pass."""
+    n = 15 + n_const_fields(cfg) + 16
+    return n * _field_bytes(hb, wb) <= VMEM_BUDGET_BYTES
+
+
 def _shift_xp(a):
     return jnp.concatenate([a[:, 1:], a[:, -2:-1]], axis=1)
 
@@ -117,6 +125,7 @@ def relax_bucket_fused(
     *,
     tensor: Optional[tuple] = None,  # (J11, J22, J12, J13, J23) for grad/log
     interpret: bool = False,
+    force_mode: Optional[str] = None,  # "full" | "chunked" (tests/benchmarks)
 ) -> Tuple[jax.Array, jax.Array]:
     """(du, dv) after the full relaxation; all inputs at bucket shape.
 
@@ -125,9 +134,36 @@ def relax_bucket_fused(
     because ksi is computed from the grey motion tensor even for the
     gradient/log solvers (reference quirk: cuda_operation_solve_2d.cpp:84)
     — plus, for GRADIENT/LOG_DERIVATIVES, the second-order tensor fields
-    the solve update uses (solve_2d.cu:867-884). All of these stream from
-    HBM; only the iterates and per-outer hoists are VMEM-resident.
+    the solve update uses (solve_2d.cu:867-884).
+
+    Two Mosaic variants behind one interface, picked by working-set size:
+      * "full" — no chunking at all: every pass is straight full-field
+        VPU code (shifts are whole-array concats), constants VMEM-resident,
+        half-point diffusivity weights hoisted per outer. Fastest; needs
+        ~31-36 fields of VMEM.
+      * "chunked" — 64-row chunk loop with slab assembly and HBM-streamed
+        constants for buckets whose full-variant working set exceeds VMEM
+        (e.g. 1080p fine levels at 8.9 MB/field).
     """
+    hb, wb = u.shape
+    mode = force_mode or ("full" if fits_full(hb, wb, cfg) else "chunked")
+    impl = _relax_bucket_full if mode == "full" else _relax_bucket_chunked
+    return impl(fx, fy, ft, u, v, scalars, cfg, tensor=tensor, interpret=interpret)
+
+
+def _relax_bucket_chunked(
+    fx: jax.Array,
+    fy: jax.Array,
+    ft: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    scalars,
+    cfg: FlowConfig,
+    *,
+    tensor: Optional[tuple] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunked variant: 64-row chunk loops, HBM-streamed constants."""
     (cw, ch, _, _, div2hx, div2hy, _, _, a_hx2, a_hy2) = scalars[:10]
     hb, wb = u.shape
     assert fx.shape == (hb, wb)
@@ -347,6 +383,209 @@ def relax_bucket_fused(
         cost_estimate=pl.CostEstimate(
             flops=70 * hb * wb * total,
             bytes_accessed=(6 + n_const * cfg.outer_iterations_count) * 4 * hb * wb,
+            transcendentals=2 * hb * wb * cfg.outer_iterations_count,
+        ),
+        interpret=interpret,
+    )(*smem_i, *smem_f, u, v, *consts)
+
+
+def _relax_bucket_full(
+    fx: jax.Array,
+    fy: jax.Array,
+    ft: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    scalars,
+    cfg: FlowConfig,
+    *,
+    tensor: Optional[tuple] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Unchunked variant: every pass is straight full-field VPU code.
+
+    The 64-row chunk machinery (slab assembly, aligned halo reads,
+    streamed constants) existed to keep transients under what round 1
+    believed was a 16 MB VMEM ceiling; v5e actually has 128 MB, so for
+    buckets up to ~3 MB/field the whole working set — iterates, hoisted
+    per-outer fields, constants, and per-pass transients — fits VMEM with
+    no chunk loop at all. Stencil shifts are whole-array concats (the
+    same `_shifts` semantics as the XLA path, with bucket-edge mirror);
+    the valid-edge mirror comes from the once-per-outer ghost
+    maintenance, exactly like the chunked variant.
+
+    Additional hoist over the chunked variant: the masked half-point
+    diffusivities pw_* (reference: solve_2d.cu:343-346 with the
+    free-boundary weights :333-340) are per-outer constants — stored in
+    four VMEM fields so each sweep touches ONLY the two iterate fields
+    plus center reads.
+    """
+    (cw, ch, _, _, div2hx, div2hy, _, _, a_hx2, a_hy2) = scalars[:10]
+    hb, wb = u.shape
+    assert fx.shape == (hb, wb)
+    grey = cfg.data_constancy == DataConstancy.GREY
+    if not grey:
+        assert tensor is not None and len(tensor) == 5
+    consts = (fx, fy, ft) if grey else (fx, fy, ft, *tensor)
+    n_const = len(consts)
+    inner = cfg.inner_iterations_count
+    F = np.float32
+    e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
+    e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
+
+    smem_i = [jnp.asarray(x, jnp.int32).reshape(1, 1) for x in (cw, ch)]
+    smem_f = [
+        jnp.asarray(x, jnp.float32).reshape(1, 1)
+        for x in (div2hx, div2hy, a_hx2, a_hy2)
+    ]
+
+    def kernel(*refs):
+        (cw_ref, ch_ref, d2x_ref, d2y_ref, ax_ref, ay_ref, u_ref, v_ref) = refs[:8]
+        const_refs = refs[8:8 + n_const]      # VMEM-resident
+        (du_ref, dv_ref,                      # outputs; hold Tu, Tv in-loop
+         tub_ref, tvb_ref,
+         pwxp_ref, pwxm_ref, pwyp_ref, pwym_ref,
+         a12_ref, a13_ref, a23_ref, dnu_ref, dnv_ref) = refs[8 + n_const:]
+        cwv = cw_ref[0, 0]
+        chv = ch_ref[0, 0]
+        d2x = d2x_ref[0, 0]
+        d2y = d2y_ref[0, 0]
+        axv = ax_ref[0, 0]
+        ayv = ay_ref[0, 0]
+
+        ys = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+
+        def maintain1(ref):
+            val = ref[:]
+            rolled_r = pltpu.roll(val, 2, 0)
+            val = jnp.where(ys == chv, rolled_r, val)
+            rolled_c = pltpu.roll(val, 2, 1)
+            ref[:] = jnp.where(xs == cwv, rolled_c, val)
+
+        def sh(a):
+            """center, x+1, x-1, y+1, y-1 with bucket-edge mirror — the
+            exact `_shifts` semantics of the XLA path."""
+            xp = jnp.concatenate([a[:, 1:], a[:, -2:-1]], axis=1)
+            xm = jnp.concatenate([a[:, 1:2], a[:, :-1]], axis=1)
+            yp = jnp.concatenate([a[1:, :], a[-2:-1, :]], axis=0)
+            ym = jnp.concatenate([a[1:2, :], a[:-1, :]], axis=0)
+            return a, xp, xm, yp, ym
+
+        du_ref[:] = u_ref[:]
+        dv_ref[:] = v_ref[:]
+
+        def outer_body(_, carry):
+            maintain1(du_ref)
+            maintain1(dv_ref)
+
+            # ---- prologue: phi, pw hoists, tensor hoists ----
+            tu, tu_xp, tu_xm, tu_yp, tu_ym = sh(du_ref[:])
+            tv, tv_xp, tv_xm, tv_yp, tv_ym = sh(dv_ref[:])
+            dux = (tu_xp - tu_xm) / d2x
+            duy = (tu_yp - tu_ym) / d2y
+            dvx = (tv_xp - tv_xm) / d2x
+            dvy = (tv_yp - tv_ym) / d2y
+            phi = 1.0 / (
+                2.0 * jnp.sqrt(dux * dux + duy * duy + dvx * dvx + dvy * dvy + e_s2)
+            )
+            phi = jnp.where(ys == chv, pltpu.roll(phi, 2, 0), phi)
+            phi = jnp.where(xs == cwv, pltpu.roll(phi, 2, 1), phi)
+
+            phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = sh(phi)
+            xp_w = jnp.where(xs < cwv - 1, axv, 0.0)
+            xm_w = jnp.where(xs > 0, axv, 0.0)
+            yp_w = jnp.where(ys < chv - 1, ayv, 0.0)
+            ym_w = jnp.where(ys > 0, ayv, 0.0)
+            pwxp_ref[:] = (phi_xp_n + phi_c) * 0.5 * xp_w
+            pwxm_ref[:] = (phi_xm_n + phi_c) * 0.5 * xm_w
+            pwyp_ref[:] = (phi_yp_n + phi_c) * 0.5 * yp_w
+            pwym_ref[:] = (phi_ym_n + phi_c) * 0.5 * ym_w
+            sumH = pwxp_ref[:] + pwxm_ref[:] + pwyp_ref[:] + pwym_ref[:]
+
+            du_c = tu - u_ref[:]
+            dv_c = tv - v_ref[:]
+            fxc = const_refs[0][:]
+            fyc = const_refs[1][:]
+            ftc = const_refs[2][:]
+            sq = (
+                (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
+                + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
+                + (fxc * ftc * du_c + fyc * ftc * dv_c + ftc * ftc)
+            )
+            ksi = 1.0 / (2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2))
+            if grey:
+                J11, J22 = fxc * fxc, fyc * fyc
+                J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
+            else:
+                J11 = const_refs[3][:]
+                J22 = const_refs[4][:]
+                J12 = const_refs[5][:]
+                J13 = const_refs[6][:]
+                J23 = const_refs[7][:]
+            a12_ref[:] = ksi * J12
+            a13_ref[:] = ksi * J13
+            a23_ref[:] = ksi * J23
+            dnu_ref[:] = ksi * J11 + sumH
+            dnv_ref[:] = ksi * J22 + sumH
+
+            # ---- sweeps: only the two iterate fields get shifted ----
+            for j in range(inner):
+                if j % 2 == 0:
+                    src_tu, src_tv, dst_tu, dst_tv = du_ref, dv_ref, tub_ref, tvb_ref
+                else:
+                    src_tu, src_tv, dst_tu, dst_tv = tub_ref, tvb_ref, du_ref, dv_ref
+                u_c = u_ref[:]
+                v_c = v_ref[:]
+                stu, stu_xp, stu_xm, stu_yp, stu_ym = sh(src_tu[:])
+                sumU = (
+                    pwxp_ref[:] * (stu_xp - u_c)
+                    + pwxm_ref[:] * (stu_xm - u_c)
+                    + pwyp_ref[:] * (stu_yp - u_c)
+                    + pwym_ref[:] * (stu_ym - u_c)
+                )
+                stv, stv_xp, stv_xm, stv_yp, stv_ym = sh(src_tv[:])
+                sumV = (
+                    pwxp_ref[:] * (stv_xp - v_c)
+                    + pwxm_ref[:] * (stv_xm - v_c)
+                    + pwyp_ref[:] * (stv_yp - v_c)
+                    + pwym_ref[:] * (stv_ym - v_c)
+                )
+                sdv_c = stv - v_c
+                new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) / dnu_ref[:]
+                new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) / dnv_ref[:]
+                dst_tu[:] = u_c + new_du
+                dst_tv[:] = v_c + new_dv
+            if inner % 2 == 1:
+                du_ref[:] = tub_ref[:]
+                dv_ref[:] = tvb_ref[:]
+            return carry
+
+        jax.lax.fori_loop(0, cfg.outer_iterations_count, outer_body, 0)
+        du_ref[:] = du_ref[:] - u_ref[:]
+        dv_ref[:] = dv_ref[:] - v_ref[:]
+
+    field = lambda: pltpu.VMEM((hb, wb), jnp.float32)  # noqa: E731
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    total = cfg.outer_iterations_count * (inner + 1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((hb, wb), jnp.float32),
+            jax.ShapeDtypeStruct((hb, wb), jnp.float32),
+        ),
+        in_specs=(
+            [smem()] * 6
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_const)
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[field() for _ in range(11)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * hb * wb * total,
+            bytes_accessed=(6 + n_const) * 4 * hb * wb,
             transcendentals=2 * hb * wb * cfg.outer_iterations_count,
         ),
         interpret=interpret,

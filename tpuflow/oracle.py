@@ -317,21 +317,79 @@ def _edge_masks(h: int, w: int, hx: float, hy: float, alpha: float):
     return xp.astype(F), xm.astype(F), yp.astype(F), ym.astype(F)
 
 
-def _sweep_common(u, v, du, dv, phi, ksi, hx, hy, alpha, J11, J22, J12, J13, J23):
+# CUDA launch geometry of the reference solve kernels
+# (cuda_operation_solve_2d.cpp: 16x8 blocks). Used only by the
+# block-artifact emulation below.
+BLOCK_X, BLOCK_Y = 16, 8
+
+
+def _block_edge_masks(h: int, w: int):
+    xs = np.arange(w)[None, :] * np.ones((h, 1), np.int64)
+    ys = np.arange(h)[:, None] * np.ones((1, w), np.int64)
+    return (
+        xs % BLOCK_X == BLOCK_X - 1,   # block-right edge
+        xs % BLOCK_X == 0,             # block-left edge
+        ys % BLOCK_Y == BLOCK_Y - 1,   # block-bottom edge
+        ys % BLOCK_Y == 0,             # block-top edge
+    )
+
+
+def _shifts_log_bug(a: np.ndarray):
+    """Shifts as the reference LOG kernel actually sees its input tiles:
+    the halo loads are off by one (solve_2d.cu:449 `global_x - 1 + 1`,
+    :463 `global_x + 1 - 1`, :476, :490), so at every 16x8 block border
+    the halo slot holds the block's own edge cell (replicate) instead of
+    the true neighbor. Interior and image-edge-through-out-of-grid-thread
+    behavior is the normal mirror."""
+    c, xp, xm, yp, ym = _shifts(a)
+    bxp, bxm, byp, bym = _block_edge_masks(*a.shape)
+    xp = np.where(bxp, c, xp).astype(F)
+    xm = np.where(bxm, c, xm).astype(F)
+    yp = np.where(byp, c, yp).astype(F)
+    ym = np.where(bym, c, ym).astype(F)
+    return c, xp, xm, yp, ym
+
+
+def _shifts_block_replicate(a: np.ndarray):
+    """Shifts of a derivative field staged with per-block REPLICATED halos
+    (reference: solve_2d.cu:813-841 grad, :525-556 log): at block borders
+    the halo holds the block's own edge cell. At partial edge blocks the
+    reference reads UNINITIALIZED shared memory (out-of-grid threads never
+    write their derivative slots) — unemulatable; modeled as replicate,
+    which is also the clean-math image-edge rule."""
+    p = np.pad(a.astype(F), 1, mode="edge")
+    c = p[1:-1, 1:-1]
+    xp = p[1:-1, 2:]
+    xm = p[1:-1, :-2]
+    yp = p[2:, 1:-1]
+    ym = p[:-2, 1:-1]
+    bxp, bxm, byp, bym = _block_edge_masks(*a.shape)
+    xp = np.where(bxp, c, xp).astype(F)
+    xm = np.where(bxm, c, xm).astype(F)
+    yp = np.where(byp, c, yp).astype(F)
+    ym = np.where(bym, c, ym).astype(F)
+    return xp, xm, yp, ym
+
+
+def _sweep_common(u, v, du, dv, phi, ksi, hx, hy, alpha, J11, J22, J12, J13, J23,
+                  shifts=_shifts):
     """Shared Jacobi-sweep update given a motion tensor.
 
     Reference: solve_2d.cu:333-374 — arithmetic-mean half-point
     diffusivities, free-boundary masks, and the sequential du* -> dv*
     intra-pixel coupling (Gauss-Seidel in (u,v), Jacobi across pixels).
+
+    ``shifts`` selects how neighbor values are read: the clean mirror
+    (default) or the LOG kernel's buggy block-border tiles.
     """
     h, w = u.shape
     xp, xm, yp, ym = _edge_masks(h, w, hx, hy, alpha)
 
-    phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = _shifts(phi)
-    u_c, u_xp, u_xm, u_yp, u_ym = _shifts(u)
-    v_c, v_xp, v_xm, v_yp, v_ym = _shifts(v)
-    du_c, du_xp, du_xm, du_yp, du_ym = _shifts(du)
-    dv_c, dv_xp, dv_xm, dv_yp, dv_ym = _shifts(dv)
+    phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = shifts(phi)
+    u_c, u_xp, u_xm, u_yp, u_ym = shifts(u)
+    v_c, v_xp, v_xm, v_yp, v_ym = shifts(v)
+    du_c, du_xp, du_xm, du_yp, du_ym = shifts(du)
+    dv_c, dv_xp, dv_xm, dv_yp, dv_ym = shifts(dv)
     ksi_c = ksi.astype(F)
 
     half = F(2.0)
@@ -378,11 +436,15 @@ def solve_sweep_grey(f0, f1, u, v, du, dv, phi, ksi, hx, hy, alpha):
     return _sweep_common(u, v, du, dv, phi, ksi, hx, hy, alpha, J11, J22, J12, J13, J23)
 
 
-def _second_order_tensor(fx, fy, ft, hx, hy):
+def _second_order_tensor(fx, fy, ft, hx, hy, block_emulation=False):
     """Second-order (gradient-constancy) motion tensor from first-derivative
     fields, using REPLICATE boundary for the derivative fields
     (reference: solve_2d.cu:813-841 replicates at tile borders; the clean
     global equivalent is edge replication).
+
+    block_emulation=True reproduces the reference's per-16x8-CUDA-block
+    replication (the halos replicate at EVERY block border, not just the
+    image edge) — the blocking artifact quantified in BASELINE.md.
 
     Reference: solve_2d.cu:867-884.
     """
@@ -390,6 +452,8 @@ def _second_order_tensor(fx, fy, ft, hx, hy):
     hy_1 = F(np.float64(1.0) / (np.float64(2.0) * np.float64(hy)))
 
     def shifts_edge(a):
+        if block_emulation:
+            return _shifts_block_replicate(a)
         p = np.pad(a, 1, mode="edge")
         return p[1:-1, 2:], p[1:-1, :-2], p[2:, 1:-1], p[:-2, 1:-1]
 
@@ -411,14 +475,16 @@ def _second_order_tensor(fx, fy, ft, hx, hy):
     return J11, J22, J12, J13, J23
 
 
-def solve_sweep_grad(f0, f1, u, v, du, dv, phi, ksi, hx, hy, alpha):
-    """One Jacobi sweep, gradient constancy (clean global derivatives).
+def solve_sweep_grad(f0, f1, u, v, du, dv, phi, ksi, hx, hy, alpha,
+                     block_emulation=False):
+    """One Jacobi sweep, gradient constancy.
 
-    Reference: solve_2d.cu:683-953. The reference's per-CUDA-block
-    derivative-halo replication (:813-841) is a blocking artifact; this
-    oracle uses the clean global stencil with edge replication at image
-    borders, which is what the replication degenerates to for a single
-    image-wide block.
+    Reference: solve_2d.cu:683-953. The reference's input tiles load TRUE
+    mirror halos (:738-790), so only the derivative fields carry the
+    per-CUDA-block replication artifact (:813-841). Default is the clean
+    global stencil (edge replication at image borders — what the
+    replication degenerates to for one image-wide block);
+    block_emulation=True reproduces the 16x8 blocking in the tensor.
     """
     hx, hy = F(hx), F(hy)
     f0_c, f0_xp, f0_xm, f0_yp, f0_ym = _shifts(f0)
@@ -428,30 +494,42 @@ def solve_sweep_grad(f0, f1, u, v, du, dv, phi, ksi, hx, hy, alpha):
     fy = ((f0_yp - f0_ym + f1_yp - f1_ym) / (F(4.0) * hy)).astype(F)
     ft = (f1_c - f0_c).astype(F)
 
-    J11, J22, J12, J13, J23 = _second_order_tensor(fx, fy, ft, hx, hy)
+    J11, J22, J12, J13, J23 = _second_order_tensor(
+        fx, fy, ft, hx, hy, block_emulation
+    )
     return _sweep_common(u, v, du, dv, phi, ksi, hx, hy, alpha, J11, J22, J12, J13, J23)
 
 
-def solve_sweep_log(f0, f1, u, v, du, dv, phi, ksi, hx, hy, alpha):
-    """One Jacobi sweep, log-derivative constancy (clean global derivatives).
+def solve_sweep_log(f0, f1, u, v, du, dv, phi, ksi, hx, hy, alpha,
+                    block_emulation=False):
+    """One Jacobi sweep, log-derivative constancy.
 
-    Reference: solve_2d.cu:391-669 — identical to the gradient variant with
-    derivatives of log(1 + I). (The reference kernel's halo loads are buggy
-    at :448,:462 — they re-load the tile's own edge column; not replicated.)
+    Reference: solve_2d.cu:391-669 — the gradient variant with derivatives
+    of log(1 + I) (:508-524). Beyond the derivative-tile replication it
+    shares with grad, the LOG kernel's input-tile halo loads are buggy
+    (:449 `global_x - 1 + 1`, :463 `global_x + 1 - 1`, :476, :490): every
+    16x8 block border sees the block's own edge cell for f0, f1, u, v,
+    du, dv, phi — i.e. the bug distorts the first derivatives AND the
+    smoothness sums, not just the tensor. Default is clean math;
+    block_emulation=True reproduces both artifacts.
     """
     hx, hy = F(hx), F(hy)
     log0 = np.log1p(f0.astype(F)).astype(F)
     log1 = np.log1p(f1.astype(F)).astype(F)
 
-    l0_c, l0_xp, l0_xm, l0_yp, l0_ym = _shifts(log0)
-    l1_c, l1_xp, l1_xm, l1_yp, l1_ym = _shifts(log1)
+    shifts = _shifts_log_bug if block_emulation else _shifts
+    l0_c, l0_xp, l0_xm, l0_yp, l0_ym = shifts(log0)
+    l1_c, l1_xp, l1_xm, l1_yp, l1_ym = shifts(log1)
 
     fx = ((l0_xp - l0_xm + l1_xp - l1_xm) / (F(4.0) * hx)).astype(F)
     fy = ((l0_yp - l0_ym + l1_yp - l1_ym) / (F(4.0) * hy)).astype(F)
     ft = (l1_c - l0_c).astype(F)
 
-    J11, J22, J12, J13, J23 = _second_order_tensor(fx, fy, ft, hx, hy)
-    return _sweep_common(u, v, du, dv, phi, ksi, hx, hy, alpha, J11, J22, J12, J13, J23)
+    J11, J22, J12, J13, J23 = _second_order_tensor(
+        fx, fy, ft, hx, hy, block_emulation
+    )
+    return _sweep_common(u, v, du, dv, phi, ksi, hx, hy, alpha,
+                         J11, J22, J12, J13, J23, shifts=shifts)
 
 
 _SWEEPS = {
@@ -480,9 +558,16 @@ def compute_flow(
     median_radius: int = 5,
     gaussian_sigma: float = 1.5,
     data_constancy: str = "grey",
+    block_emulation: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full coarse-to-fine solve, transliterating
-    reference: src/optical_flow/optical_flow_2d.cpp:142-569."""
+    reference: src/optical_flow/optical_flow_2d.cpp:142-569.
+
+    block_emulation=True reproduces the reference grad/log kernels'
+    16x8-CUDA-block halo artifacts (see solve_sweep_grad/solve_sweep_log);
+    no effect for grey constancy. Used to QUANTIFY the artifact: the
+    measured clean-vs-block deviation on the rub pair is recorded in
+    BASELINE.md."""
     from tpuflow.pyramid import level_schedule
 
     frame_0 = frame_0.astype(F)
@@ -530,9 +615,15 @@ def compute_flow(
                 f0_l, f1_w, u, v, du, dv, hx, hy, equation_smoothness, equation_data
             )
             for _ in range(inner_iterations_count):
-                du, dv = sweep(
-                    f0_l, f1_w, u, v, du, dv, phi, ksi, hx, hy, equation_alpha
-                )
+                if data_constancy == "grey":
+                    du, dv = sweep(
+                        f0_l, f1_w, u, v, du, dv, phi, ksi, hx, hy, equation_alpha
+                    )
+                else:
+                    du, dv = sweep(
+                        f0_l, f1_w, u, v, du, dv, phi, ksi, hx, hy,
+                        equation_alpha, block_emulation
+                    )
 
         # Add increment (:409-421), then median filtering (:428-449).
         u = add(u, du)
