@@ -24,6 +24,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-compile tests"
+    )
+
+
 def pytest_sessionstart(session):
     assert all(d.platform == "cpu" for d in jax.devices()), (
         "tests must run on the virtual CPU mesh, got "

@@ -99,6 +99,31 @@ def test_multi_iteration_mean_epe_bounded(outer, inner, constancy, mode):
     assert np.isfinite(np.asarray(got[1])).all()
 
 
+def test_vmap_lifts_kernel_to_grid():
+    # The batched pipeline vmaps the kernel over frame pairs (one grid
+    # instance per pair); outputs must match per-pair single calls.
+    import jax
+
+    f0, f1, u, v, sc, (cw, ch) = setup()
+    cfg = FlowConfig(outer_iterations_count=2, inner_iterations_count=2)
+    fx, fy, ft, _ = level_constants(f0, f1, sc.tree(), cfg)
+    stack = lambda a: jnp.stack([a, a * 0.5])  # noqa: E731
+
+    def one(fx_, fy_, ft_, u_, v_):
+        return relax_bucket_fused(
+            fx_, fy_, ft_, u_, v_, sc.tree(), cfg, interpret=True,
+            force_mode="full",
+        )
+
+    DU, DV = jax.vmap(one)(stack(fx), stack(fy), stack(ft), stack(u), stack(v))
+    du0, dv0 = one(fx, fy, ft, u, v)
+    # vmapped and plain are different XLA programs -> 1-ulp fma noise,
+    # amplified at phi-sensitive pixels; bound the mean like the other
+    # cross-program parity tests.
+    d = np.abs(np.asarray(DU[0])[:ch, :cw] - np.asarray(du0)[:ch, :cw])
+    assert d.mean() < 1e-6 and d.max() < 1e-2, (d.mean(), d.max())
+
+
 def test_supported_gating():
     cfg = FlowConfig()
     assert relax_bucket_supported(448, 640, cfg)       # top rub bucket fits

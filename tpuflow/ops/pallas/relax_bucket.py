@@ -74,7 +74,7 @@ CHUNK = 64
 # for chunk transients, which is what lets 1080p fine levels stay in the
 # kernel instead of falling back to XLA.
 PERSISTENT_ARRAYS = 12
-VMEM_BUDGET_BYTES = 108 * 1024 * 1024
+VMEM_BUDGET_BYTES = 112 * 1024 * 1024  # 117 MB measured OK; leave headroom
 VMEM_LIMIT_BYTES = 127 * 1024 * 1024
 
 

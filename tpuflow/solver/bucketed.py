@@ -684,8 +684,14 @@ def _level_groups(specs, w0: int, h0: int, cfg: FlowConfig):
 
 @functools.lru_cache(maxsize=64)
 def compiled_full_pipeline_batched(orig_shape: Tuple[int, int], batch: int,
-                                   cfg: FlowConfig):
-    """vmapped single-dispatch whole-pipeline program for (B, H, W) stacks."""
+                                   cfg: FlowConfig, use_pallas: bool = None):
+    """vmapped single-dispatch whole-pipeline program for (B, H, W) stacks.
+
+    use_pallas: vmap lifts the Pallas relaxation kernel to a grid axis
+    (one sequential kernel instance per pair). Defaults to the platform
+    gate like the single-pair path; pass False to force the XLA
+    relaxation (the GSPMD-sharded paths need that).
+    """
     h0, w0 = orig_shape
     specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
     top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
@@ -701,11 +707,9 @@ def compiled_full_pipeline_batched(orig_shape: Tuple[int, int], batch: int,
         v = jnp.zeros_like(u)
         for bucket, stacked in groups:
             def body(carry, sc, bucket=bucket):
-                # use_pallas=False: vmapping the VMEM kernel adds a grid
-                # axis and the batch is HBM-bound regardless.
                 uu, vv = bucketed_level_step(
                     f0s, f1s, carry[0], carry[1], sc, bucket, top_bucket, cfg,
-                    use_pallas=False,
+                    use_pallas=use_pallas,
                 )
                 return (uu, vv), None
 
@@ -839,8 +843,11 @@ def compute_flow_bucketed_batch(frames_0, frames_1, cfg: FlowConfig = None,
         f1 = jax.device_put(f1, sharding)
 
     # One program, one dispatch (the whole pyramid vmapped over the batch);
-    # with sharded inputs GSPMD partitions the batch axis across the mesh.
-    run = compiled_full_pipeline_batched((h0, w0), b, cfg)
+    # with sharded inputs GSPMD partitions the batch axis across the mesh
+    # (XLA relaxation: GSPMD cannot partition the Pallas custom call).
+    run = compiled_full_pipeline_batched(
+        (h0, w0), b, cfg, use_pallas=False if mesh is not None else None
+    )
     return run(f0, f1)
 
 
