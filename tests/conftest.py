@@ -13,6 +13,10 @@ backend is initialized by a test.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests default to the scanned (non-unrolled) pipeline: CPU-compiling the
+# unrolled straight-line programs doubles suite time for no coverage gain
+# (one explicit unroll-parity test opts back in).
+os.environ.setdefault("TPUFLOW_UNROLL", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -91,6 +91,24 @@ def test_bucketed_median_radius7_matches_per_shape():
     assert d.max() < 1e-6, f"median_radius=7 bucketed vs per-shape max diff {d.max()}"
 
 
+def test_unrolled_pipeline_matches_scanned():
+    # The production default unrolls the level scans so per-level weight
+    # construction constant-folds; values must match the scanned program.
+    from tpuflow.solver.bucketed import compiled_full_pipeline
+
+    h, w = 48, 56
+    f0 = blob(h, w, 24, 28)
+    f1 = blob(h, w, 25.1, 27.2)
+    cfg = FlowConfig(
+        warp_levels_count=3, warp_scale_factor=0.6, outer_iterations_count=3,
+        inner_iterations_count=2, median_radius=3, gaussian_sigma=0.8,
+    )
+    us, vs = compiled_full_pipeline((h, w), cfg, unroll=False)(f0, f1)
+    uu, vu = compiled_full_pipeline((h, w), cfg, unroll=True)(f0, f1)
+    epe = endpoint_error(np.asarray(uu), np.asarray(vu), np.asarray(us), np.asarray(vs))
+    assert epe < 1e-5, epe
+
+
 def test_bucketed_default_schedule_small():
     # Full default iteration counts on a small frame: exercises many levels
     # mapping to the same bucket program.

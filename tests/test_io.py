@@ -87,3 +87,34 @@ def test_magnitude_file(tmp_path):
     write_magnitude_f32(u, v, p)
     out = np.fromfile(p, dtype="<f4")
     np.testing.assert_allclose(out, [5.0])
+
+
+def test_frame_loader_native_matches_numpy(tmp_path):
+    """Native prefetching loader (tpuflow/_native/loader.cpp) returns the
+    same frames as the synchronous readers, in order, for mixed u8/f32
+    files; the numpy fallback path is exercised too."""
+    import numpy as np
+
+    from tpuflow.io.loader import FrameLoader, native_available
+    from tpuflow.io.raw import read_frame
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(7):
+        p = str(tmp_path / f"f{i}.raw")
+        if i % 2 == 0:
+            rng.integers(0, 255, (20, 32), dtype=np.uint8).tofile(p)
+        else:
+            rng.random((20, 32)).astype("<f4").tofile(p)
+        paths.append(p)
+
+    for force_numpy in (False, True):
+        with FrameLoader(paths, 32, 20, ring=3, threads=2,
+                         force_numpy=force_numpy) as ld:
+            for p in paths:
+                np.testing.assert_array_equal(ld.next(), read_frame(p, 32, 20))
+
+    if not native_available():  # informative: CI should build the .so
+        import warnings
+
+        warnings.warn("native loader not built; numpy fallback only")

@@ -87,7 +87,7 @@ def process_sequence(
     import time
 
     from tpuflow.io import write_flow_image_rgb, write_magnitude_f32, write_raw_f32
-    from tpuflow.io.raw import read_frame
+    from tpuflow.io.loader import FrameLoader
     from tpuflow.solver.flow2d import compute_flow_async
 
     cfg = cfg or FlowConfig()
@@ -113,21 +113,27 @@ def process_sequence(
         manifest.record(pair_id, time.perf_counter() - t_submit)
         completed.append(pair_id)
 
-    for idx, (path0, path1) in enumerate(pairs):
-        if idx % pcount != pid:
-            continue
-        pair_id = f"{idx:05d}_"
-        if pair_id in done:
-            continue
-        f0 = read_frame(path0, width, height)
-        f1 = read_frame(path1, width, height)
-        t_submit = time.perf_counter()
-        u_dev, v_dev = compute_flow_async(f0, f1, cfg)
-        pending.append((pair_id, u_dev, v_dev, t_submit))
-        # Keep a small in-flight window: device queues stay busy while the
-        # host writes results.
-        if len(pending) >= 2:
-            drain(pending.pop(0))
+    # This process's work (index-sharded), minus already-completed pairs.
+    my_pairs = [
+        (f"{idx:05d}_", path0, path1)
+        for idx, (path0, path1) in enumerate(pairs)
+        if idx % pcount == pid and f"{idx:05d}_" not in done
+    ]
+    # Native prefetching loader (tpuflow/_native/loader.cpp): worker
+    # threads read + widen the next frames off the GIL while the device
+    # computes and the host writes outputs; numpy fallback when unbuilt.
+    files = [p for _, p0, p1 in my_pairs for p in (p0, p1)]
+    with FrameLoader(files, width, height) as loader:
+        for pair_id, _p0, _p1 in my_pairs:
+            f0 = loader.next()
+            f1 = loader.next()
+            t_submit = time.perf_counter()
+            u_dev, v_dev = compute_flow_async(f0, f1, cfg)
+            pending.append((pair_id, u_dev, v_dev, t_submit))
+            # Keep a small in-flight window: device queues stay busy while
+            # the host writes results.
+            if len(pending) >= 2:
+                drain(pending.pop(0))
 
     for entry in pending:
         drain(entry)

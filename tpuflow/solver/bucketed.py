@@ -572,7 +572,8 @@ def _compiled_smooth_pad(sigma: float, orig_shape: Tuple[int, int],
 
 
 @functools.lru_cache(maxsize=64)
-def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig):
+def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
+                           unroll: bool = None):
     """The ENTIRE solve — presmooth + every bucket group — as ONE XLA
     program (one compile request, one dispatch per pair).
 
@@ -580,7 +581,20 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig):
     overhead with little server-side parallelism, so one program cold-starts
     several times faster than ~10 group programs. Per-level scalars are
     baked in as constants (the cache key is the workload shape + config).
+
+    unroll: unroll the per-group level scans into straight-line code —
+    the per-level scalars become XLA literals, so the on-device resample
+    weight-matrix construction, boundary masks, and ghost-maintenance
+    indices all constant-fold away. Measured ~10% faster per pair
+    (23.1 vs 25.5 ms) at ~2.3x the one-time compile cost (BASELINE.md);
+    the persistent compilation cache makes that a per-machine cost, so
+    unrolling is the DEFAULT (opt out with TPUFLOW_UNROLL=0 when
+    iterating on the pipeline code itself).
     """
+    import os
+
+    if unroll is None:
+        unroll = os.environ.get("TPUFLOW_UNROLL", "1") != "0"
     h0, w0 = orig_shape
     specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
     top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
@@ -596,6 +610,14 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig):
         u = jnp.zeros((h0b, w0b), jnp.float32)
         v = jnp.zeros_like(u)
         for bucket, stacked in groups:
+            if unroll:
+                for i in range(stacked[0].shape[0]):
+                    sc = tuple(col[i] for col in stacked)
+                    u, v = bucketed_level_step(
+                        f0s, f1s, u, v, sc, bucket, top_bucket, cfg
+                    )
+                continue
+
             def body(carry, sc, bucket=bucket):
                 uu, vv = bucketed_level_step(
                     f0s, f1s, carry[0], carry[1], sc, bucket, top_bucket, cfg
