@@ -191,6 +191,17 @@ def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
     Note the reference's edge clamp (x1 = min(w-1, x0+1)) only differs from
     x0+1 where the corresponding bilinear weight is exactly zero (x_f >
     w-1 is "invalid" and copies frame_0), so unclamped taps are exact.
+
+    Cliff (recorded design decision): ONE pixel beyond +-WARP_MAX_DISP
+    flips the whole level to the gather path (~5 ms/level on the scalar
+    path vs ~0.05 ms fast path). The alternative — clamping outliers into
+    the window — would silently deviate from the reference's exact warp
+    for those pixels and break the oracle EPE contract on violent-motion
+    inputs, so exactness wins: after coarse-to-fine prolongation the
+    per-level flow INCREMENT is almost always sub-pixel and the fallback
+    has never been observed on the benchmark workloads. If a workload
+    lives near the cliff, raise WARP_MAX_DISP (cost grows ~(2D+2)^2 VPU
+    ops, still far from the gather path's cost at D<=8).
     """
     hb, wb = f0.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 1)
@@ -467,10 +478,17 @@ def bucketed_level_step(
     relax_fn=None,   # override: (f0_l, f1_w, u, v, scalars, cfg) -> (du, dv)
 ):
     """One pyramid level at a bucket shape; returns flow at the top bucket."""
+    import os
+
     (cw, ch, inv_hx, inv_hy, _d2x, _d2y, _d4x, _d4y, _ax, _ay, wlim, hlim,
      cwf, chf, w0f, h0f, prev_cwf, prev_chf) = scalars[:18]
     hb, wb = bucket
     h0b, w0b = top_bucket
+    # Profiling-only ablations (comma-separated TPUFLOW_ABLATE values:
+    # nowarp, nomedian, norelax): produce WRONG flow, used exclusively to
+    # attribute pipeline time by config-differencing in ONE session
+    # (tools/profile_ablate.py). Read at trace time.
+    ablate = set(filter(None, os.environ.get("TPUFLOW_ABLATE", "").split(",")))
 
     import jax.lax as lax
 
@@ -498,10 +516,15 @@ def bucketed_level_step(
     v = maintain_mirror2(v, cw, ch)
 
     # Backward registration (:343-363).
-    f1_w = warp_dyn(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim)
-    f1_w = maintain_mirror1(f1_w, cw, ch)
+    if "nowarp" in ablate:
+        f1_w = f1_l
+    else:
+        f1_w = warp_dyn(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim)
+        f1_w = maintain_mirror1(f1_w, cw, ch)
 
-    if relax_fn is not None:
+    if "norelax" in ablate:
+        du, dv = jnp.zeros_like(u), jnp.zeros_like(v)
+    elif relax_fn is not None:
         du, dv = relax_fn(f0_l, f1_w, u, v, scalars, cfg)
     else:
         du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg, use_pallas=use_pallas)
@@ -511,11 +534,12 @@ def bucketed_level_step(
     # The median reads a (side-1)//2-radius window: refresh that many ghost
     # rows/cols of the summed flow (du carries only radius-1 ghosts from
     # the sweeps). radius 3 for the side-7 window; SLACK=8 leaves room.
-    ghost_r = max(2, (cfg.median_radius - 1) // 2)
-    u = maintain_mirror(u, cw, ch, ghost_r)
-    v = maintain_mirror(v, cw, ch, ghost_r)
-    u = median(u, cfg.median_radius)
-    v = median(v, cfg.median_radius)
+    if "nomedian" not in ablate:
+        ghost_r = max(2, (cfg.median_radius - 1) // 2)
+        u = maintain_mirror(u, cw, ch, ghost_r)
+        v = maintain_mirror(v, cw, ch, ghost_r)
+        u = median(u, cfg.median_radius)
+        v = median(v, cfg.median_radius)
 
     # Re-embed into the top bucket for the next level.
     u_out = jnp.zeros((h0b, w0b), jnp.float32).at[:hb, :wb].set(u)
