@@ -52,7 +52,7 @@ def run_kernel(f0, f1, u, v, sc, cfg, mode=None):
     )
 
 
-@pytest.mark.parametrize("mode", ["full", "stacked", "chunked"])
+@pytest.mark.parametrize("mode", ["full", "chunked"])
 @pytest.mark.parametrize(
     "constancy",
     [DataConstancy.GREY, DataConstancy.GRADIENT, DataConstancy.LOG_DERIVATIVES],
@@ -69,7 +69,7 @@ def test_single_sweep_matches_xla(constancy, mode):
         assert d.max() < 1e-5, (constancy, mode, d.max())
 
 
-@pytest.mark.parametrize("mode", ["full", "stacked", "chunked"])
+@pytest.mark.parametrize("mode", ["full", "chunked"])
 @pytest.mark.parametrize(
     "outer,inner,constancy",
     [

@@ -1,48 +1,46 @@
-"""VMEM-resident relaxation kernel for BUCKET shapes (Pallas TPU) — v2.
+"""VMEM-resident relaxation kernel for BUCKET shapes (Pallas TPU).
 
 One kernel invocation executes the whole ``outer x (phi/ksi + inner
 sweeps)`` relaxation of a pyramid level on a bucket-padded field with a
 traced valid extent — the bucketed-engine counterpart of the reference's
 outer*inner separate kernel launches with per-sweep host syncs
 (reference: cuda_operation_solve_2d.cpp:238-300). One launch replaces the
-XLA path's ~240 fused stencil passes per level, and every iterate stays in
-VMEM between sweeps.
+XLA path's ~240 fused stencil passes per level, every iterate stays in
+VMEM between sweeps, and all three data constancies run here (round 1
+was grey-only): the second-order tensor for GRADIENT/LOG_DERIVATIVES
+(solve_2d.cu:867-884) arrives as per-level constant fields exactly like
+the grey derivatives.
 
-v2 redesign (round 2), driven by the round-1 profile (fine buckets were
-VPU-bound at ~26 us/pass on slab assembly + lane shifts + per-sweep tensor
-recompute):
-
+Shared structure (both variants):
   * **Combined iterate** ``T = flow + d``: the sweeps only ever read
     ``u_xp + du_xp`` together (reference: solve_2d.cu:349-359), so the
-    kernel carries Tu = u + du, Tv = v + dv and assembles TWO halo slabs
-    per sweep instead of five (u, v, du, dv, phi). u, v are read at chunk
-    centers only. phi's gradient (solve_2d.cu:141-162) also contracts to
-    shifts of T alone.
-  * **Per-outer tensor hoist**: the data-term products ksi*J11..ksi*J23
-    are constants within an outer iteration (phi/ksi update once per
-    outer, solve_2d.cu:195-196) — computed once per outer into five VMEM
-    fields (a12, a13, a23, b11, b22) instead of per sweep.
+    kernel carries Tu = u + du, Tv = v + dv — two neighbor-shifted fields
+    per sweep instead of five (u, v, du, dv, phi); u, v are read at
+    centers only.
+  * **Per-outer hoists**: the ksi-scaled tensor products and (in the
+    full variant) the masked half-point diffusivities pw_* are constants
+    within an outer iteration (phi/ksi update once per outer,
+    solve_2d.cu:195-196) — computed once per outer into VMEM fields.
   * **Ghost maintenance once per outer**: mirror ghosts at the traced
     valid edge are only OBSERVED by the phi gradient pass; every sweep
     consumption of neighbor values is multiplied by the free-boundary
-    weights (solve_2d.cu:333-340), which are zero exactly at the valid
-    edge. So Tu/Tv ghosts are refreshed once per outer (before phi)
-    instead of 2 fields x 2 rolls per sweep, and phi/ksi need none.
-  * **Per-level constants stream from HBM**: the motion-tensor fields
-    (grey first derivatives fx, fy, ft, plus the second-order tensor
-    J11, J22, J12, J13, J23 for gradient/log constancy,
-    solve_2d.cu:867-884) are read once per outer at chunk centers, so
-    they live in HBM and are DMA'd per chunk in the prologue. This frees
-    VMEM for the hoisted fields and makes GRADIENT / LOG_DERIVATIVES
-    constancy (the X-ray workloads, reference README.md:30-38) run the
-    same kernel as GREY — round 1 restricted the kernel to GREY.
+    weights (solve_2d.cu:333-340), which vanish exactly at the valid
+    edge.
 
-Bucket regularity keeps the kernel Mosaic-friendly: bucket heights are
-multiples of CHUNK=64 rows, so the chunk loop is a single `fori_loop`
-whose dynamic slices are provably 8-aligned (halo rows come from aligned
-8-row block reads with a where-select for the mirrored top edge), and
-ghost maintenance uses full-field roll+select (pltpu.roll is a native
-relayout), avoiding unaligned dynamic stores.
+Variants (see relax_bucket_fused): "full" — straight full-field VPU code,
+no chunking, constants VMEM-resident (v5e has 128 MB of VMEM; the 16 MB
+"limit" round 1 designed against was only Mosaic's default
+vmem_limit_bytes); "chunked" — 64-row chunk loops with slab assembly and
+HBM-streamed constants for buckets whose full working set exceeds VMEM
+(1080p fine levels). Chunk loops are single `fori_loop`s whose dynamic
+slices are provably 8-aligned; ghost maintenance uses full-field
+roll+select (pltpu.roll is a native relayout), avoiding unaligned
+dynamic stores.
+
+Measured and REJECTED alternatives (BASELINE.md): a stacked-[Tu;Tv]
+variant halving the per-sweep shift OP count was no faster (Mosaic cost
+tracks data volume, not op count, at these sizes); vmapping this kernel
+for batches is 4-5x slower per pair than single-stream chaining.
 
 Scalars (valid extent + h-derived float32 constants) arrive in SMEM.
 Numerics match tpuflow.solver.bucketed._relax_dyn term by term (the same
@@ -149,7 +147,6 @@ def relax_bucket_fused(
     mode = force_mode or ("full" if fits_full(hb, wb, cfg) else "chunked")
     impl = {
         "full": _relax_bucket_full,
-        "stacked": _relax_bucket_stacked,
         "chunked": _relax_bucket_chunked,
     }[mode]
     return impl(fx, fy, ft, u, v, scalars, cfg, tensor=tensor, interpret=interpret)
@@ -586,205 +583,6 @@ def _relax_bucket_full(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[field() for _ in range(11)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
-        cost_estimate=pl.CostEstimate(
-            flops=60 * hb * wb * total,
-            bytes_accessed=(6 + n_const) * 4 * hb * wb,
-            transcendentals=2 * hb * wb * cfg.outer_iterations_count,
-        ),
-        interpret=interpret,
-    )(*smem_i, *smem_f, u, v, *consts)
-
-
-def _relax_bucket_stacked(
-    fx: jax.Array,
-    fy: jax.Array,
-    ft: jax.Array,
-    u: jax.Array,
-    v: jax.Array,
-    scalars,
-    cfg: FlowConfig,
-    *,
-    tensor: Optional[tuple] = None,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Full-field variant with the u/v PLANES STACKED along rows.
-
-    The sweeps' only remaining per-pass work over the v3 full-field
-    variant is the neighbor shifts of Tu and Tv and the masked sums.
-    Carrying both components in ONE (2*hb, wb) field S = [Tu; Tv] halves
-    the number of shift/multiply OPS per sweep (same bytes, half the
-    fixed per-op overhead): one set of shifts of S feeds both sumU and
-    sumV, with the half-point-diffusivity weights duplicated into both
-    halves. The intra-pixel du*->dv* coupling (reference:
-    solve_2d.cu:361-367) still runs on the (hb, wb) halves after one
-    slice. Seam correctness: the only unmasked cross-half read is the
-    phi gradient's y-minus at the bottom half's first row, fixed by one
-    where-select (it must see the mirror row, which equals the y-plus
-    shift there); every sweep read across the seam lands in bucket ghost
-    rows whose free-boundary weights are zero.
-    """
-    (cw, ch, _, _, div2hx, div2hy, _, _, a_hx2, a_hy2) = scalars[:10]
-    hb, wb = u.shape
-    assert fx.shape == (hb, wb)
-    grey = cfg.data_constancy == DataConstancy.GREY
-    if not grey:
-        assert tensor is not None and len(tensor) == 5
-    consts = (fx, fy, ft) if grey else (fx, fy, ft, *tensor)
-    n_const = len(consts)
-    inner = cfg.inner_iterations_count
-    hb2 = 2 * hb
-    F = np.float32
-    e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
-    e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
-
-    smem_i = [jnp.asarray(x, jnp.int32).reshape(1, 1) for x in (cw, ch)]
-    smem_f = [
-        jnp.asarray(x, jnp.float32).reshape(1, 1)
-        for x in (div2hx, div2hy, a_hx2, a_hy2)
-    ]
-
-    def kernel(*refs):
-        (cw_ref, ch_ref, d2x_ref, d2y_ref, ax_ref, ay_ref, u_ref, v_ref) = refs[:8]
-        const_refs = refs[8:8 + n_const]
-        (du_ref, dv_ref,
-         s_ref, sb_ref, uv_ref,
-         pwxp_ref, pwxm_ref, pwyp_ref, pwym_ref,       # stacked (2hb, wb)
-         a12_ref, a13_ref, a23_ref, dnu_ref, dnv_ref) = refs[8 + n_const:]
-        cwv = cw_ref[0, 0]
-        chv = ch_ref[0, 0]
-        d2x = d2x_ref[0, 0]
-        d2y = d2y_ref[0, 0]
-        axv = ax_ref[0, 0]
-        ayv = ay_ref[0, 0]
-
-        ys1 = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
-        xs1 = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
-        ys2 = jax.lax.broadcasted_iota(jnp.int32, (hb2, wb), 0)
-        xs2 = jax.lax.broadcasted_iota(jnp.int32, (hb2, wb), 1)
-
-        def maintain1_stacked(ref):
-            val = ref[:]
-            ghost_row = (ys2 == chv) | (ys2 == hb + chv)
-            val = jnp.where(ghost_row, pltpu.roll(val, 2, 0), val)
-            ref[:] = jnp.where(xs2 == cwv, pltpu.roll(val, 2, 1), val)
-
-        def sh2(a):
-            xp = jnp.concatenate([a[:, 1:], a[:, -2:-1]], axis=1)
-            xm = jnp.concatenate([a[:, 1:2], a[:, :-1]], axis=1)
-            yp = jnp.concatenate([a[1:, :], a[-2:-1, :]], axis=0)
-            ym = jnp.concatenate([a[1:2, :], a[:-1, :]], axis=0)
-            return a, xp, xm, yp, ym
-
-        uv_ref[0:hb, :] = u_ref[:]
-        uv_ref[hb:hb2, :] = v_ref[:]
-        s_ref[:] = uv_ref[:]
-
-        def outer_body(_, carry):
-            maintain1_stacked(s_ref)
-
-            # ---- prologue ----
-            S, S_xp, S_xm, S_yp, S_ym = sh2(s_ref[:])
-            # Seam fix: the bottom half's first row must see its mirror
-            # (global v row 1), which is exactly the y-plus shift there.
-            S_ym = jnp.where(ys2 == hb, S_yp, S_ym)
-            gx = (S_xp - S_xm) / d2x
-            gy = (S_yp - S_ym) / d2y
-            g2 = gx * gx + gy * gy
-            gsum = g2[0:hb, :] + g2[hb:hb2, :]
-            phi = 1.0 / (2.0 * jnp.sqrt(gsum + e_s2))
-            phi = jnp.where(ys1 == chv, pltpu.roll(phi, 2, 0), phi)
-            phi = jnp.where(xs1 == cwv, pltpu.roll(phi, 2, 1), phi)
-
-            phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = sh2(phi)
-            xp_w = jnp.where(xs1 < cwv - 1, axv, 0.0)
-            xm_w = jnp.where(xs1 > 0, axv, 0.0)
-            yp_w = jnp.where(ys1 < chv - 1, ayv, 0.0)
-            ym_w = jnp.where(ys1 > 0, ayv, 0.0)
-            pw_xp = (phi_xp_n + phi_c) * 0.5 * xp_w
-            pw_xm = (phi_xm_n + phi_c) * 0.5 * xm_w
-            pw_yp = (phi_yp_n + phi_c) * 0.5 * yp_w
-            pw_ym = (phi_ym_n + phi_c) * 0.5 * ym_w
-            for ref, val in ((pwxp_ref, pw_xp), (pwxm_ref, pw_xm),
-                             (pwyp_ref, pw_yp), (pwym_ref, pw_ym)):
-                ref[0:hb, :] = val
-                ref[hb:hb2, :] = val
-            sumH = pw_xp + pw_xm + pw_yp + pw_ym
-
-            du_c = S[0:hb, :] - u_ref[:]
-            dv_c = S[hb:hb2, :] - v_ref[:]
-            fxc = const_refs[0][:]
-            fyc = const_refs[1][:]
-            ftc = const_refs[2][:]
-            sq = (
-                (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
-                + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
-                + (fxc * ftc * du_c + fyc * ftc * dv_c + ftc * ftc)
-            )
-            ksi = 1.0 / (2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2))
-            if grey:
-                J11, J22 = fxc * fxc, fyc * fyc
-                J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
-            else:
-                J11 = const_refs[3][:]
-                J22 = const_refs[4][:]
-                J12 = const_refs[5][:]
-                J13 = const_refs[6][:]
-                J23 = const_refs[7][:]
-            a12_ref[:] = ksi * J12
-            a13_ref[:] = ksi * J13
-            a23_ref[:] = ksi * J23
-            dnu_ref[:] = ksi * J11 + sumH
-            dnv_ref[:] = ksi * J22 + sumH
-
-            # ---- sweeps: ONE set of stacked shifts feeds both sums ----
-            for j in range(inner):
-                src, dst = (s_ref, sb_ref) if j % 2 == 0 else (sb_ref, s_ref)
-                uv = uv_ref[:]
-                Sc, Sxp, Sxm, Syp, Sym = sh2(src[:])
-                sumUV = (
-                    pwxp_ref[:] * (Sxp - uv)
-                    + pwxm_ref[:] * (Sxm - uv)
-                    + pwyp_ref[:] * (Syp - uv)
-                    + pwym_ref[:] * (Sym - uv)
-                )
-                sdv_c = Sc[hb:hb2, :] - uv[hb:hb2, :]
-                new_du = (
-                    -a13_ref[:] - a12_ref[:] * sdv_c + sumUV[0:hb, :]
-                ) / dnu_ref[:]
-                new_dv = (
-                    -a23_ref[:] - a12_ref[:] * new_du + sumUV[hb:hb2, :]
-                ) / dnv_ref[:]
-                dst[0:hb, :] = uv[0:hb, :] + new_du
-                dst[hb:hb2, :] = uv[hb:hb2, :] + new_dv
-            if inner % 2 == 1:
-                s_ref[:] = sb_ref[:]
-            return carry
-
-        jax.lax.fori_loop(0, cfg.outer_iterations_count, outer_body, 0)
-        du_ref[:] = s_ref[0:hb, :] - uv_ref[0:hb, :]
-        dv_ref[:] = s_ref[hb:hb2, :] - uv_ref[hb:hb2, :]
-
-    f1 = lambda: pltpu.VMEM((hb, wb), jnp.float32)    # noqa: E731
-    f2 = lambda: pltpu.VMEM((hb2, wb), jnp.float32)   # noqa: E731
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    total = cfg.outer_iterations_count * (inner + 1)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((hb, wb), jnp.float32),
-            jax.ShapeDtypeStruct((hb, wb), jnp.float32),
-        ),
-        in_specs=(
-            [smem()] * 6
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_const)
-        ),
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[f2(), f2(), f2(), f2(), f2(), f2(), f2()]
-        + [f1() for _ in range(5)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         cost_estimate=pl.CostEstimate(
             flops=60 * hb * wb * total,
