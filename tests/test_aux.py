@@ -92,3 +92,20 @@ def test_flow_energy_decreases_with_solving():
     assert float(e1.total) < float(e0.total), (float(e1.total), float(e0.total))
     assert float(e1.data) < float(e0.data)
     assert np.isfinite(float(e1.smoothness))
+
+
+def test_timer_and_level_table():
+    from tpuflow.solver.flow2d import LevelTrace
+    from tpuflow.utils.timing import Timer, format_level_table
+
+    with Timer() as t:
+        sum(range(1000))
+    assert t.seconds >= 0.0
+
+    table = format_level_table(
+        [LevelTrace(level=3, width=584, height=388, seconds=0.01),
+         LevelTrace(level=2, width=526, height=350, seconds=0.005)]
+    )
+    lines = table.splitlines()
+    assert len(lines) == 3
+    assert "584x388" in lines[1] and "Mpix/s" in lines[0]

@@ -91,13 +91,15 @@ def test_relax_sharded_bit_matches_unsharded(constancy, n_y):
     assert epe.mean() < 1e-4, (constancy, n_y, epe.mean())
 
 
-def test_sharded_pipeline_explicit_matches_unsharded():
+@pytest.mark.parametrize("constancy", [DataConstancy.GREY, DataConstancy.GRADIENT])
+def test_sharded_pipeline_explicit_matches_unsharded(constancy):
     h, w = 120, 140  # top bucket (128, 256): 128 rows shard over 4 devices
     f0 = blob(h, w, 60, 70, 8.0) + blob(h, w, 30, 35, 4.0)
     f1 = blob(h, w, 61.1, 69.2, 8.0) + blob(h, w, 30.7, 35.8, 4.0)
     cfg = FlowConfig(
         warp_levels_count=4, warp_scale_factor=0.6, outer_iterations_count=5,
         inner_iterations_count=3, median_radius=5, gaussian_sigma=1.0,
+        data_constancy=constancy,
     )
     mesh = make_mesh((2, 4))
     us, vs = compute_flow_bucketed_sharded(f0, f1, cfg, mesh=mesh, halo="explicit")

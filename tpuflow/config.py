@@ -13,7 +13,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 import xml.etree.ElementTree as ET
-from typing import Optional
 
 
 class DataConstancy(enum.Enum):
@@ -44,6 +43,12 @@ class FlowConfig:
     median_radius: int = 5  # window SIDE length (3/5/7 in the reference)
     gaussian_sigma: float = 1.5
     data_constancy: DataConstancy = DataConstancy.GREY
+
+    # NOTE on precision: the solver is float32 throughout. A bfloat16
+    # sweep mode was built and measured in round 2 and REJECTED: only 11%
+    # faster per level while the bf16 iterate stalls convergence at
+    # ~0.29 px EPE on the rub pair — far outside the 0.05 px quality
+    # target (BASELINE.md "bfloat16 sweeps (negative result)").
 
     # NOTE on gradient/log reference parity: the reference's grad/log
     # solve kernels carry 16x8-CUDA-block halo artifacts — the grad kernel

@@ -28,11 +28,24 @@ Boundary semantics inside the local block:
 Everything outside the relaxation (box-resample matmuls, warp, median)
 stays on the GSPMD path — the relaxation is ~95% of the per-level work
 (outer x (1 + inner) stencil passes vs a handful for the rest).
+
+Why the per-shard compute is XLA rather than the Pallas kernel: the
+unsharded kernel's win is VMEM residency across ALL outer x (1+inner)
+~240 passes. Under spatial sharding the halo exchange forces the iterate
+through a collective every outer iteration, so a per-shard kernel could
+only fuse the (1 + inner) = 6 passes between exchanges — a small
+fraction of the unsharded fusion win — while needing a row-offset
+coordinate system, externally-supplied iterate init, and suppressed
+internal ghost maintenance. The XLA local block (everything still fused
+by XLA within an outer) is the right cost/complexity point until real
+multi-chip hardware exists to measure on; the speed-of-light successor
+is a Pallas kernel whose halo exchange itself runs in-kernel via
+`make_async_remote_copy` (ring RDMA), overlapping the k-sweep compute —
+see BASELINE.md round-3 levers.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import numpy as np
@@ -41,7 +54,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from tpuflow.config import DataConstancy, FlowConfig
+from tpuflow.config import FlowConfig
 from tpuflow.ops.solver_ops import _shifts
 from tpuflow.solver.bucketed import level_constants
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Iterable, List, Optional, Sequence, Tuple
+
 
 import numpy as np
 

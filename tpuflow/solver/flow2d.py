@@ -25,7 +25,7 @@ import numpy as np
 
 from tpuflow.config import FlowConfig
 from tpuflow.ops.gaussian import gaussian_smooth
-from tpuflow.pyramid import LevelSpec, level_schedule
+from tpuflow.pyramid import level_schedule
 from tpuflow.solver.level import compiled_level_step, level_step
 
 

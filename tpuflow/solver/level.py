@@ -27,7 +27,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpuflow.config import DataConstancy, FlowConfig
+from tpuflow.config import FlowConfig
 from tpuflow.ops.median import median
 from tpuflow.ops.resample import resample
 from tpuflow.ops.solver_ops import (
