@@ -475,13 +475,42 @@ def _relax_bucket_full(
         du_ref[:] = u_ref[:]
         dv_ref[:] = v_ref[:]
 
-        def outer_body(_, carry):
-            maintain1(du_ref)
-            maintain1(dv_ref)
+        def sweep_from_shifts(tu_sh, tv_sh, dst_tu, dst_tv):
+            """One Jacobi sweep given the source iterate's shift tuples."""
+            u_c = u_ref[:]
+            v_c = v_ref[:]
+            stu, stu_xp, stu_xm, stu_yp, stu_ym = tu_sh
+            sumU = (
+                pwxp_ref[:] * (stu_xp - u_c)
+                + pwxm_ref[:] * (stu_xm - u_c)
+                + pwyp_ref[:] * (stu_yp - u_c)
+                + pwym_ref[:] * (stu_ym - u_c)
+            )
+            stv, stv_xp, stv_xm, stv_yp, stv_ym = tv_sh
+            sumV = (
+                pwxp_ref[:] * (stv_xp - v_c)
+                + pwxm_ref[:] * (stv_xm - v_c)
+                + pwyp_ref[:] * (stv_yp - v_c)
+                + pwym_ref[:] * (stv_ym - v_c)
+            )
+            sdv_c = stv - v_c
+            new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) / dnu_ref[:]
+            new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) / dnv_ref[:]
+            dst_tu[:] = u_c + new_du
+            dst_tv[:] = v_c + new_dv
+
+        def outer_pass(src_tu_ref, src_tv_ref, alt_tu_ref, alt_tv_ref):
+            """One outer iteration: iterate arrives in (src_*); after
+            `inner` sweeps it lives in (alt_*) when inner is odd, else back
+            in (src_*)."""
+            maintain1(src_tu_ref)
+            maintain1(src_tv_ref)
 
             # ---- prologue: phi, pw hoists, tensor hoists ----
-            tu, tu_xp, tu_xm, tu_yp, tu_ym = sh(du_ref[:])
-            tv, tv_xp, tv_xm, tv_yp, tv_ym = sh(dv_ref[:])
+            tu_sh = sh(src_tu_ref[:])
+            tv_sh = sh(src_tv_ref[:])
+            tu, tu_xp, tu_xm, tu_yp, tu_ym = tu_sh
+            tv, tv_xp, tv_xm, tv_yp, tv_ym = tv_sh
             dux = (tu_xp - tu_xm) / d2x
             duy = (tu_yp - tu_ym) / d2y
             dvx = (tv_xp - tv_xm) / d2x
@@ -530,38 +559,47 @@ def _relax_bucket_full(
             dnv_ref[:] = ksi * J22 + sumH
 
             # ---- sweeps: only the two iterate fields get shifted ----
-            for j in range(inner):
-                if j % 2 == 0:
-                    src_tu, src_tv, dst_tu, dst_tv = du_ref, dv_ref, tub_ref, tvb_ref
+            # Sweep 0 reuses the prologue's shift set verbatim (the iterate
+            # is unchanged between the phi pass and the first sweep), saving
+            # 8 shifted-field materializations per outer iteration.
+            sweep_from_shifts(tu_sh, tv_sh, alt_tu_ref, alt_tv_ref)
+            for j in range(1, inner):
+                if j % 2 == 1:
+                    src_tu, src_tv = alt_tu_ref, alt_tv_ref
+                    dst_tu, dst_tv = src_tu_ref, src_tv_ref
                 else:
-                    src_tu, src_tv, dst_tu, dst_tv = tub_ref, tvb_ref, du_ref, dv_ref
-                u_c = u_ref[:]
-                v_c = v_ref[:]
-                stu, stu_xp, stu_xm, stu_yp, stu_ym = sh(src_tu[:])
-                sumU = (
-                    pwxp_ref[:] * (stu_xp - u_c)
-                    + pwxm_ref[:] * (stu_xm - u_c)
-                    + pwyp_ref[:] * (stu_yp - u_c)
-                    + pwym_ref[:] * (stu_ym - u_c)
-                )
-                stv, stv_xp, stv_xm, stv_yp, stv_ym = sh(src_tv[:])
-                sumV = (
-                    pwxp_ref[:] * (stv_xp - v_c)
-                    + pwxm_ref[:] * (stv_xm - v_c)
-                    + pwyp_ref[:] * (stv_yp - v_c)
-                    + pwym_ref[:] * (stv_ym - v_c)
-                )
-                sdv_c = stv - v_c
-                new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) / dnu_ref[:]
-                new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) / dnv_ref[:]
-                dst_tu[:] = u_c + new_du
-                dst_tv[:] = v_c + new_dv
-            if inner % 2 == 1:
-                du_ref[:] = tub_ref[:]
-                dv_ref[:] = tvb_ref[:]
+                    src_tu, src_tv = src_tu_ref, src_tv_ref
+                    dst_tu, dst_tv = alt_tu_ref, alt_tv_ref
+                sweep_from_shifts(sh(src_tu[:]), sh(src_tv[:]), dst_tu, dst_tv)
+
+        # The iterate alternates buffers across outers when inner is odd;
+        # unroll TWO outer passes per loop iteration with swapped roles
+        # instead of copying back — the ping-pong becomes free.
+        flips = inner % 2 == 1
+        n_outer = cfg.outer_iterations_count
+
+        def outer_pair(_, carry):
+            outer_pass(du_ref, dv_ref, tub_ref, tvb_ref)
+            if flips:
+                outer_pass(tub_ref, tvb_ref, du_ref, dv_ref)
+            else:
+                outer_pass(du_ref, dv_ref, tub_ref, tvb_ref)
             return carry
 
-        jax.lax.fori_loop(0, cfg.outer_iterations_count, outer_body, 0)
+        if flips:
+            jax.lax.fori_loop(0, n_outer // 2, outer_pair, 0)
+            if n_outer % 2 == 1:
+                outer_pass(du_ref, dv_ref, tub_ref, tvb_ref)
+                du_ref[:] = tub_ref[:]
+                dv_ref[:] = tvb_ref[:]
+        else:
+
+            def outer_single(_, carry):
+                outer_pass(du_ref, dv_ref, tub_ref, tvb_ref)
+                return carry
+
+            jax.lax.fori_loop(0, n_outer, outer_single, 0)
+
         du_ref[:] = du_ref[:] - u_ref[:]
         dv_ref[:] = dv_ref[:] - v_ref[:]
 
