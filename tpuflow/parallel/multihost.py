@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -99,11 +99,12 @@ def process_sequence(
     pcount = jax.process_count()
 
     completed = []
-    pending = []  # (pair_id, device u, device v, t_submit)
 
     def drain(entry):
-        pair_id, u_dev, v_dev, t_submit = entry
-        u, v = np.asarray(u_dev), np.asarray(v_dev)
+        pair_id, uv_dev, t_submit = entry
+        # One device_get for both components: each host materialization is
+        # a full network round trip on tunneled dispatch paths.
+        u, v = np.asarray(uv_dev)
         suffix = f"-{width}-{height}.raw"
         write_raw_f32(os.path.join(output_dir, f"{pair_id}flow-u{suffix}"), u)
         write_raw_f32(os.path.join(output_dir, f"{pair_id}flow-v{suffix}"), v)
@@ -123,18 +124,26 @@ def process_sequence(
     # threads read + widen the next frames off the GIL while the device
     # computes and the host writes outputs; numpy fallback when unbuilt.
     files = [p for _, p0, p1 in my_pairs for p in (p0, p1)]
-    with FrameLoader(files, width, height) as loader:
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Downloads + disk writes run on ONE background worker (ordering
+    # preserved) so the blocking host materialization of pair k overlaps
+    # the submission of pairs k+1..; the bounded queue keeps at most a few
+    # flows resident on device.
+    with FrameLoader(files, width, height) as loader, \
+            ThreadPoolExecutor(max_workers=1) as writer:
+        futures = []
         for pair_id, _p0, _p1 in my_pairs:
             f0 = loader.next()
             f1 = loader.next()
             t_submit = time.perf_counter()
             u_dev, v_dev = compute_flow_async(f0, f1, cfg)
-            pending.append((pair_id, u_dev, v_dev, t_submit))
-            # Keep a small in-flight window: device queues stay busy while
-            # the host writes results.
-            if len(pending) >= 2:
-                drain(pending.pop(0))
-
-    for entry in pending:
-        drain(entry)
+            futures.append(
+                writer.submit(drain, (pair_id, jnp.stack([u_dev, v_dev]), t_submit))
+            )
+            if len(futures) >= 6:
+                futures.pop(0).result()
+        for f in futures:
+            f.result()
     return completed
