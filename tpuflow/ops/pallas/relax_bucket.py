@@ -124,6 +124,8 @@ def relax_bucket_fused(
     tensor: Optional[tuple] = None,  # (J11, J22, J12, J13, J23) for grad/log
     interpret: bool = False,
     force_mode: Optional[str] = None,  # "full" | "chunked" (tests/benchmarks)
+    shift_mode: Optional[str] = None,  # "concat" | "roll" (full variant only)
+    _ablate: Optional[str] = None,     # timing probes (bench only)
 ) -> Tuple[jax.Array, jax.Array]:
     """(du, dv) after the full relaxation; all inputs at bucket shape.
 
@@ -145,11 +147,14 @@ def relax_bucket_fused(
     """
     hb, wb = u.shape
     mode = force_mode or ("full" if fits_full(hb, wb, cfg) else "chunked")
-    impl = {
-        "full": _relax_bucket_full,
-        "chunked": _relax_bucket_chunked,
-    }[mode]
-    return impl(fx, fy, ft, u, v, scalars, cfg, tensor=tensor, interpret=interpret)
+    if mode == "full":
+        return _relax_bucket_full(
+            fx, fy, ft, u, v, scalars, cfg, tensor=tensor, interpret=interpret,
+            shift_mode=shift_mode, _ablate=_ablate,
+        )
+    return _relax_bucket_chunked(
+        fx, fy, ft, u, v, scalars, cfg, tensor=tensor, interpret=interpret
+    )
 
 
 def _relax_bucket_chunked(
@@ -401,6 +406,8 @@ def _relax_bucket_full(
     *,
     tensor: Optional[tuple] = None,
     interpret: bool = False,
+    shift_mode: Optional[str] = None,
+    _ablate: Optional[str] = None,  # WRONG-MATH timing probes (bench only)
 ) -> Tuple[jax.Array, jax.Array]:
     """Unchunked variant: every pass is straight full-field VPU code.
 
@@ -420,6 +427,8 @@ def _relax_bucket_full(
     four VMEM fields so each sweep touches ONLY the two iterate fields
     plus center reads.
     """
+    import os
+
     (cw, ch, _, _, div2hx, div2hy, _, _, a_hx2, a_hy2) = scalars[:10]
     hb, wb = u.shape
     assert fx.shape == (hb, wb)
@@ -429,6 +438,9 @@ def _relax_bucket_full(
     consts = (fx, fy, ft) if grey else (fx, fy, ft, *tensor)
     n_const = len(consts)
     inner = cfg.inner_iterations_count
+    if shift_mode is None:
+        shift_mode = os.environ.get("TPUFLOW_KERNEL_SHIFT", "concat")
+    assert shift_mode in ("concat", "roll"), shift_mode
     F = np.float32
     e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
     e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
@@ -463,7 +475,7 @@ def _relax_bucket_full(
             rolled_c = pltpu.roll(val, 2, 1)
             ref[:] = jnp.where(xs == cwv, rolled_c, val)
 
-        def sh(a):
+        def sh_concat(a):
             """center, x+1, x-1, y+1, y-1 with bucket-edge mirror — the
             exact `_shifts` semantics of the XLA path."""
             xp = jnp.concatenate([a[:, 1:], a[:, -2:-1]], axis=1)
@@ -472,21 +484,66 @@ def _relax_bucket_full(
             ym = jnp.concatenate([a[1:2, :], a[:-1, :]], axis=0)
             return a, xp, xm, yp, ym
 
+        def sh_roll_raw(a):
+            """Shifts as native circular rolls, NO edge handling: the
+            wrapped row/column lands only where every consumer is masked
+            (sweeps multiply neighbor values by the free-boundary weights,
+            which are 0 at row/col 0 and at the valid edge; wrapped values
+            are finite, and 0 * finite == 0 exactly)."""
+            xp = pltpu.roll(a, wb - 1, 1)  # out[x] = a[x+1] (wrap at wb-1)
+            xm = pltpu.roll(a, 1, 1)
+            yp = pltpu.roll(a, hb - 1, 0)
+            ym = pltpu.roll(a, 1, 0)
+            return a, xp, xm, yp, ym
+
+        def sh_roll_fix(a):
+            """Rolls + mirror fix at row/col 0 (reference x<0 -> -x, i.e.
+            xm[0] = a[1] = xp[0]) — required only where shifted values are
+            consumed UNMASKED: the phi gradient pass. Values at the far
+            bucket edge stay wrapped (ghost region, never consumed)."""
+            c, xp, xm, yp, ym = sh_roll_raw(a)
+            xm = jnp.where(xs == 0, xp, xm)
+            ym = jnp.where(ys == 0, yp, ym)
+            return c, xp, xm, yp, ym
+
+        if shift_mode == "roll":
+            sh, sh_sweep = sh_roll_fix, sh_roll_raw
+        else:
+            sh = sh_sweep = sh_concat
+
+        if _ablate in ("noxshift", "noyshift"):
+            # Timing probes: drop one shift direction (WRONG results).
+            def _ab(f):
+                def g(a):
+                    c, xp, xm, yp, ym = f(a)
+                    if _ablate == "noxshift":
+                        return c, c, c, yp, ym
+                    return c, xp, xm, c, c
+
+                return g
+
+            sh, sh_sweep = _ab(sh), _ab(sh_sweep)
+
         du_ref[:] = u_ref[:]
         dv_ref[:] = v_ref[:]
 
         def sweep_from_shifts(tu_sh, tv_sh, dst_tu, dst_tv):
             """One Jacobi sweep given the source iterate's shift tuples."""
+            stu, stu_xp, stu_xm, stu_yp, stu_ym = tu_sh
+            stv, stv_xp, stv_xm, stv_yp, stv_ym = tv_sh
+            if _ablate == "shiftonly":
+                # Timing probe: shifts + writes with no field reads/math.
+                dst_tu[:] = stu_xp + stu_xm + stu_yp + stu_ym
+                dst_tv[:] = stv_xp + stv_xm + stv_yp + stv_ym
+                return
             u_c = u_ref[:]
             v_c = v_ref[:]
-            stu, stu_xp, stu_xm, stu_yp, stu_ym = tu_sh
             sumU = (
                 pwxp_ref[:] * (stu_xp - u_c)
                 + pwxm_ref[:] * (stu_xm - u_c)
                 + pwyp_ref[:] * (stu_yp - u_c)
                 + pwym_ref[:] * (stu_ym - u_c)
             )
-            stv, stv_xp, stv_xm, stv_yp, stv_ym = tv_sh
             sumV = (
                 pwxp_ref[:] * (stv_xp - v_c)
                 + pwxm_ref[:] * (stv_xm - v_c)
@@ -494,8 +551,14 @@ def _relax_bucket_full(
                 + pwym_ref[:] * (stv_ym - v_c)
             )
             sdv_c = stv - v_c
-            new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) / dnu_ref[:]
-            new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) / dnv_ref[:]
+            if _ablate == "recip":
+                # Candidate: denominator RECIPROCALS hoisted per outer
+                # (divide -> multiply in the sweeps; ~1-ulp reassociation).
+                new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) * dnu_ref[:]
+                new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) * dnv_ref[:]
+            else:
+                new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) / dnu_ref[:]
+                new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) / dnv_ref[:]
             dst_tu[:] = u_c + new_du
             dst_tv[:] = v_c + new_dv
 
@@ -521,7 +584,9 @@ def _relax_bucket_full(
             phi = jnp.where(ys == chv, pltpu.roll(phi, 2, 0), phi)
             phi = jnp.where(xs == cwv, pltpu.roll(phi, 2, 1), phi)
 
-            phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = sh(phi)
+            # pw consumers are weight-masked at row/col 0, so raw shifts
+            # suffice for phi here (phi's own gradient above used `sh`).
+            phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = sh_sweep(phi)
             xp_w = jnp.where(xs < cwv - 1, axv, 0.0)
             xm_w = jnp.where(xs > 0, axv, 0.0)
             yp_w = jnp.where(ys < chv - 1, ayv, 0.0)
@@ -555,8 +620,12 @@ def _relax_bucket_full(
             a12_ref[:] = ksi * J12
             a13_ref[:] = ksi * J13
             a23_ref[:] = ksi * J23
-            dnu_ref[:] = ksi * J11 + sumH
-            dnv_ref[:] = ksi * J22 + sumH
+            if _ablate == "recip":
+                dnu_ref[:] = 1.0 / (ksi * J11 + sumH)
+                dnv_ref[:] = 1.0 / (ksi * J22 + sumH)
+            else:
+                dnu_ref[:] = ksi * J11 + sumH
+                dnv_ref[:] = ksi * J22 + sumH
 
             # ---- sweeps: only the two iterate fields get shifted ----
             # Sweep 0 reuses the prologue's shift set verbatim (the iterate
@@ -570,7 +639,9 @@ def _relax_bucket_full(
                 else:
                     src_tu, src_tv = src_tu_ref, src_tv_ref
                     dst_tu, dst_tv = alt_tu_ref, alt_tv_ref
-                sweep_from_shifts(sh(src_tu[:]), sh(src_tv[:]), dst_tu, dst_tv)
+                sweep_from_shifts(
+                    sh_sweep(src_tu[:]), sh_sweep(src_tv[:]), dst_tu, dst_tv
+                )
 
         # The iterate alternates buffers across outers when inner is odd;
         # unroll TWO outer passes per loop iteration with swapped roles
