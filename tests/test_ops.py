@@ -81,6 +81,45 @@ def test_resample_value_preserving_on_upsample():
     np.testing.assert_allclose(up.mean(), img.mean(), rtol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "out_bucket,out_hw,in_bucket,in_hw",
+    [
+        ((448, 640), (388, 584), (448, 640), (388, 584)),  # same size
+        ((448, 640), (369, 555), (448, 640), (388, 584)),  # slight shrink
+        ((64, 128), (58, 88), (448, 640), (388, 584)),     # deep shrink
+        ((128, 256), (100, 200), (448, 640), (95, 190)),   # flow upsample
+        ((64, 128), (12, 17), (448, 640), (388, 584)),     # extreme shrink
+    ],
+)
+def test_resample_banded_matches_dense(out_bucket, out_hw, in_bucket, in_hw):
+    # The banded-gather path (production under the unrolled pipeline) is
+    # the same linear map as the bucketed dense matmuls: the band values
+    # ARE the dense matrix's nonzeros, so only f32 summation order may
+    # differ.
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpuflow.ops.resample import resample_banded, resample_weights
+
+    rng = np.random.default_rng(0)
+    x = np.zeros(in_bucket, np.float32)
+    gh, gw = in_hw[0] + 2, in_hw[1] + 2
+    x[:gh, :gw] = rng.standard_normal((gh, gw)).astype(np.float32)
+    wy = np.zeros((out_bucket[0], in_bucket[0]), np.float32)
+    wx = np.zeros((out_bucket[1], in_bucket[1]), np.float32)
+    wy[: out_hw[0], : in_hw[0]] = resample_weights(in_hw[0], out_hw[0])
+    wx[: out_hw[1], : in_hw[1]] = resample_weights(in_hw[1], out_hw[1])
+    dense = jnp.matmul(
+        jnp.asarray(wy),
+        jnp.matmul(jnp.asarray(x), jnp.asarray(wx).T,
+                   precision=lax.Precision.HIGHEST),
+        precision=lax.Precision.HIGHEST,
+    )
+    band = resample_banded(jnp.asarray(x), out_bucket, out_hw, in_hw)
+    assert band.shape == out_bucket
+    np.testing.assert_allclose(np.asarray(band), np.asarray(dense), atol=1e-6)
+
+
 # ---------------------------------------------------------------- warp
 
 

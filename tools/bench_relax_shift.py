@@ -1,15 +1,19 @@
 #!/usr/bin/env python
-"""A/B the full-field relaxation kernel's shift implementation on-chip.
-
-concat (baseline): stencil shifts as slice+concat with bucket-edge mirror.
-roll: stencil shifts as native pltpu.roll relayouts — raw (wrapped) in the
-sweeps where every consumer is weight-masked at the affected row/col, with
-a mirror where-fix only in the phi-gradient prologue.
+"""A/B the full-field relaxation kernel's internals on-chip.
 
 Times one FULL-schedule relaxation (40 x (phi + 5 sweeps)) at the rub fine
 bucket (448, 640), K kernel launches chained inside ONE dispatch, variants
-interleaved across rounds so pool drift hits both. Also bit-compares the
-valid region between variants (must be EXACTLY equal).
+interleaved across rounds so pool drift hits both. Bit-compares the valid
+region between correct-math variants.
+
+Variant groups (env-gated to bound compile count):
+  default            concat baseline + inner1 (prologue-vs-sweep split)
+  BENCH_ABLATE=1     recip / noxshift / noyshift / shiftonly (WRONG math)
+  BENCH_PROLOGUE=1   sweeponly / nomaintain / notrans / noksi / nophipw
+  BENCH_OUTER=1      outer10 / outer80 (fixed-vs-marginal launch cost)
+  BENCH_SMALLCODE=1  fori-looped sweeps (code-size probe; correct math)
+  BENCH_KSPLIT=1     each variant also at K=32: solves per-launch cost vs
+                     the per-chain fence from T(K1), T(K2)
 
 Usage: python tools/bench_relax_shift.py [K] [rounds]
 """
@@ -38,8 +42,13 @@ from tpuflow.ops.pallas.relax_bucket import relax_bucket_fused  # noqa: E402
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+K2 = 32
 
-CW, CH = 584, 388
+CW, CH = (
+    tuple(int(x) for x in os.environ["BENCH_SHAPE"].split("x"))
+    if os.environ.get("BENCH_SHAPE")
+    else (584, 388)
+)
 HB, WB = bucket_dims(CW, CH)
 cfg = FlowConfig()
 sc = LevelScalars.make(CW, CH, 1.0, 1.0, cfg.equation_alpha, CW, CH, CW, CH)
@@ -54,7 +63,7 @@ u0 = jnp.asarray(rng.standard_normal(shape), jnp.float32) * 0.5
 v0 = jnp.asarray(rng.standard_normal(shape), jnp.float32) * 0.5
 
 
-def build(mode: str, ablate=None, cfg_=None):
+def build(mode, ablate=None, cfg_=None, loop_sweeps=False, k=K):
     cfg_ = cfg_ or cfg
 
     @jax.jit
@@ -64,11 +73,12 @@ def build(mode: str, ablate=None, cfg_=None):
             du, dv = relax_bucket_fused(
                 fx, fy, ft, uu, vv, sc_t, cfg_,
                 force_mode="full", shift_mode=mode, _ablate=ablate,
+                loop_sweeps=loop_sweeps,
             )
             # data dependence between launches, negligible value change
             return (uu + 1e-30 * du, vv + 1e-30 * dv), None
 
-        (uu, vv), _ = jax.lax.scan(body, (u, v), None, length=K)
+        (uu, vv), _ = jax.lax.scan(body, (u, v), None, length=k)
         return uu, vv
 
     @jax.jit
@@ -76,34 +86,54 @@ def build(mode: str, ablate=None, cfg_=None):
         return relax_bucket_fused(
             fx, fy, ft, u, v, sc_t, cfg_,
             force_mode="full", shift_mode=mode, _ablate=ablate,
+            loop_sweeps=loop_sweeps,
         )
 
     return chain, once
 
 
-# name -> (shift_mode, _ablate, cfg); WRONG-math probes are the ablates.
+# name -> (shift_mode, _ablate, cfg, loop_sweeps)
 VARIANTS = {
-    "concat": ("concat", None, None),
-    "inner1": ("concat", None, FlowConfig(inner_iterations_count=1)),
+    "concat": ("concat", None, None, False),
 }
+if not os.environ.get("BENCH_KSPLIT"):
+    VARIANTS["inner1"] = ("concat", None, FlowConfig(inner_iterations_count=1), False)
 if os.environ.get("BENCH_ABLATE"):
     VARIANTS.update({
-        "recip": ("concat", "recip", None),
-        "noxshift": ("concat", "noxshift", None),
-        "noyshift": ("concat", "noyshift", None),
-        "shiftonly": ("concat", "shiftonly", None),
+        "recip": ("concat", "recip", None, False),
+        "noxshift": ("concat", "noxshift", None, False),
+        "noyshift": ("concat", "noyshift", None, False),
+        "shiftonly": ("concat", "shiftonly", None, False),
     })
+if os.environ.get("BENCH_PROLOGUE"):
+    # Prologue bisection probes (all WRONG math except baseline).
+    VARIANTS.update({
+        "sweeponly": ("concat", "sweeponly", None, False),
+        "nomaintain": ("concat", "nomaintain", None, False),
+        "notrans": ("concat", "notrans", None, False),
+        "noksi": ("concat", "noksi", None, False),
+        "nophipw": ("concat", "nophipw", None, False),
+    })
+if os.environ.get("BENCH_OUTER"):
+    # Fixed-vs-marginal launch cost: T(outer) = F + outer*C (correct math).
+    VARIANTS.update({
+        "outer10": ("concat", None, FlowConfig(outer_iterations_count=10), False),
+        "outer80": ("concat", None, FlowConfig(outer_iterations_count=80), False),
+    })
+if os.environ.get("BENCH_SMALLCODE"):
+    VARIANTS["smallcode"] = ("concat", None, None, True)
 if os.environ.get("BENCH_ROLL"):
-    VARIANTS["roll"] = ("roll", None, None)
+    VARIANTS["roll"] = ("roll", None, None, False)
 
 # Correctness comparison only for correct-math full-schedule variants
-# (wrong-math probes time structure; inner1 changes the schedule).
-CHECK = {"concat", "recip", "roll"}
+# (wrong-math probes time structure; inner1/outerN change the schedule).
+CHECK = {"concat", "recip", "roll", "smallcode"}
+KSPLIT = bool(os.environ.get("BENCH_KSPLIT"))
 
 variants = {}
 ref_du = ref_dv = None
-for name, (mode, ablate, cfg_) in VARIANTS.items():
-    chain, once = build(mode, ablate, cfg_)
+for name, (mode, ablate, cfg_, lsw) in VARIANTS.items():
+    chain, once = build(mode, ablate, cfg_, lsw)
     if name in CHECK:
         out = once(u0, v0)
         du_full, dv_full = np.asarray(out[0]), np.asarray(out[1])
@@ -115,24 +145,38 @@ for name, (mode, ablate, cfg_) in VARIANTS.items():
         )
         print(f"{name}: valid-region max |diff| vs baseline = {d:.3e}",
               flush=True)
-    variants[name] = (chain,)
-    np.asarray(chain(u0, v0)[0])  # warm the chained program
+    chains = {K: chain}
+    if KSPLIT:
+        chains[K2] = build(mode, ablate, cfg_, lsw, k=K2)[0]
+    for k, ch_fn in chains.items():
+        np.asarray(ch_fn(u0, v0)[0])  # warm the chained program
+    variants[name] = chains
     print(f"{name}: warmed", flush=True)
 
 times = {}
 for _ in range(ROUNDS):
-    for mode, (chain,) in variants.items():
-        t0 = time.perf_counter()
-        uu, vv = chain(u0, v0)
-        np.asarray(uu)
-        dt = (time.perf_counter() - t0) / K
-        times.setdefault(mode, []).append(dt)
+    for name, chains in variants.items():
+        for k, ch_fn in chains.items():
+            t0 = time.perf_counter()
+            uu, vv = ch_fn(u0, v0)
+            np.asarray(uu)
+            dt = (time.perf_counter() - t0) / k
+            times.setdefault((name, k), []).append(dt)
 
 total = cfg.outer_iterations_count * (cfg.inner_iterations_count + 1)
-for mode, ts in times.items():
-    best = min(ts)
+best = {}
+for (name, k), ts in times.items():
+    best[(name, k)] = b = min(ts)
     print(
-        f"{mode}: best {best * 1e3:.2f} ms/level "
-        f"({best / total * 1e6:.1f} us/pass), "
+        f"{name}@K={k}: best {b * 1e3:.2f} ms/level "
+        f"({b / total * 1e6:.1f} us/pass), "
         f"all {[f'{t * 1e3:.2f}' for t in ts]}"
     )
+if KSPLIT:
+    for name in VARIANTS:
+        t1, t2 = best[(name, K)], best[(name, K2)]
+        # t(k) = fence/k + L
+        L = (K2 * t2 - K * t1) / (K2 - K)
+        fence = (t1 - t2) * K * K2 / (K2 - K)
+        print(f"{name}: per-launch {L * 1e3:.2f} ms, per-chain fence "
+              f"{fence * 1e3:.1f} ms")

@@ -31,13 +31,15 @@ from tpuflow.config import FlowConfig  # noqa: E402
 from tpuflow.io import read_raw_u8  # noqa: E402
 
 
-def build(ablate: str):
+def build(ablate: str, mm_prec: str = "highest", banded: str = "1"):
     # compiled_full_pipeline caches per (shape, cfg) — bust the cache per
-    # ablation by building fresh (the env var is read at trace time).
+    # ablation by building fresh (the env vars are read at trace time).
 
     import tpuflow.solver.bucketed as B
 
     os.environ["TPUFLOW_ABLATE"] = ablate
+    os.environ["TPUFLOW_MM_PRECISION"] = mm_prec
+    os.environ["TPUFLOW_BANDED_RESAMPLE"] = banded
     B.compiled_full_pipeline.cache_clear()
     B._WARMED.clear()
     return B.compiled_full_pipeline((388, 584), FlowConfig())
@@ -48,13 +50,39 @@ def main():
     f1 = read_raw_u8("/root/reference/data/rub2.raw", 584, 388)
     f0, f1 = jnp.asarray(f0), jnp.asarray(f1)
 
+    # (ablate, mm_precision, banded) variants.
+    # - norelax is deliberately ABSENT: du=dv=0 makes zeros propagate
+    #   through the whole pyramid and XLA constant-folds every level away;
+    #   fakerelax keeps data flowing through every other component.
+    # - mm_high/mm_default keep the data flow identical but cut the dense
+    #   resample matmuls' f32-emulation pass count 6->3->1: the deltas
+    #   bound the matmul share with RIGHT-SHAPED, nearly-right-valued math
+    #   (no warp-cliff risk). Measured ~1.3 ms of the pipeline.
+    # - banded: the gather-based resample (recorded negative result:
+    #   ~+37 ms — TPU scalar-path gathers; see ops/resample.py).
+    variants = {
+        "full": ("", "highest", "0"),
+        "fakerelax": ("fakerelax", "highest", "0"),
+        "nomaintain": ("nomaintain", "highest", "0"),
+        "nowarp": ("nowarp", "highest", "0"),
+        "nomedian": ("nomedian", "highest", "0"),
+        "mm_high": ("", "high", "0"),
+        "mm_default": ("", "default", "0"),
+        "nosmooth": ("nosmooth", "highest", "0"),
+    }
+    if os.environ.get("ABLATE_BANDED"):
+        variants["banded"] = ("", "highest", "1")
+    if os.environ.get("ABLATE_NORESAMPLE"):
+        variants["noresample"] = ("noresample", "highest", "0")
     runs = {}
-    for ablate in ("", "nowarp", "nomedian", "norelax"):
-        fn = build(ablate)
+    for name, spec in variants.items():
+        fn = build(*spec)
         u, v = fn(f0, f1)
         np.asarray(u)
-        runs[ablate or "full"] = fn
+        runs[name] = fn
     os.environ.pop("TPUFLOW_ABLATE", None)
+    os.environ.pop("TPUFLOW_MM_PRECISION", None)
+    os.environ.pop("TPUFLOW_BANDED_RESAMPLE", None)
 
     K = 32
     times = {}
@@ -68,9 +96,19 @@ def main():
 
     full = times["full"] * 1e3
     print(f"full:      {full:.1f} ms/pair")
-    for name in ("norelax", "nowarp", "nomedian"):
+    for name in runs:
+        if name == "full":
+            continue
         t = times[name] * 1e3
-        print(f"{name:9s}: {t:.1f} ms  -> component ~{full - t:.1f} ms")
+        print(f"{name:10s}: {t:.1f} ms  -> component ~{full - t:.1f} ms")
+    if "mm_high" in times and "mm_default" in times:
+        # t(passes) = base + passes*unit: solve from the 6/3/1-pass points.
+        t6, t3, t1 = times["full"], times["mm_high"], times["mm_default"]
+        unit = (t6 - t1) / 5.0
+        print(f"matmul unit-pass ~{unit * 1e3:.2f} ms -> HIGHEST matmuls "
+              f"~{6 * unit * 1e3:.1f} ms of the pipeline "
+              f"(3-pass point consistency: {(t6 - t3) / (3 * unit):.2f}, "
+              f"want 1.0)")
 
 
 if __name__ == "__main__":

@@ -126,6 +126,7 @@ def relax_bucket_fused(
     force_mode: Optional[str] = None,  # "full" | "chunked" (tests/benchmarks)
     shift_mode: Optional[str] = None,  # "concat" | "roll" (full variant only)
     _ablate: Optional[str] = None,     # timing probes (bench only)
+    loop_sweeps: bool = False,         # fori-looped sweeps (smaller code)
 ) -> Tuple[jax.Array, jax.Array]:
     """(du, dv) after the full relaxation; all inputs at bucket shape.
 
@@ -150,7 +151,7 @@ def relax_bucket_fused(
     if mode == "full":
         return _relax_bucket_full(
             fx, fy, ft, u, v, scalars, cfg, tensor=tensor, interpret=interpret,
-            shift_mode=shift_mode, _ablate=_ablate,
+            shift_mode=shift_mode, _ablate=_ablate, loop_sweeps=loop_sweeps,
         )
     return _relax_bucket_chunked(
         fx, fy, ft, u, v, scalars, cfg, tensor=tensor, interpret=interpret
@@ -408,6 +409,7 @@ def _relax_bucket_full(
     interpret: bool = False,
     shift_mode: Optional[str] = None,
     _ablate: Optional[str] = None,  # WRONG-MATH timing probes (bench only)
+    loop_sweeps: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Unchunked variant: every pass is straight full-field VPU code.
 
@@ -562,14 +564,11 @@ def _relax_bucket_full(
             dst_tu[:] = u_c + new_du
             dst_tv[:] = v_c + new_dv
 
-        def outer_pass(src_tu_ref, src_tv_ref, alt_tu_ref, alt_tv_ref):
-            """One outer iteration: iterate arrives in (src_*); after
-            `inner` sweeps it lives in (alt_*) when inner is odd, else back
-            in (src_*)."""
-            maintain1(src_tu_ref)
-            maintain1(src_tv_ref)
-
-            # ---- prologue: phi, pw hoists, tensor hoists ----
+        def prologue(src_tu_ref, src_tv_ref):
+            """phi + pw hoists + ksi-scaled tensor hoists for one outer
+            iteration; returns the iterate's shift tuples for reuse by
+            sweep 0 (the iterate is unchanged between the phi pass and the
+            first sweep)."""
             tu_sh = sh(src_tu_ref[:])
             tv_sh = sh(src_tv_ref[:])
             tu, tu_xp, tu_xm, tu_yp, tu_ym = tu_sh
@@ -578,9 +577,11 @@ def _relax_bucket_full(
             duy = (tu_yp - tu_ym) / d2y
             dvx = (tv_xp - tv_xm) / d2x
             dvy = (tv_yp - tv_ym) / d2y
-            phi = 1.0 / (
-                2.0 * jnp.sqrt(dux * dux + duy * duy + dvx * dvx + dvy * dvy + e_s2)
-            )
+            grad2 = dux * dux + duy * duy + dvx * dvx + dvy * dvy + e_s2
+            if _ablate == "notrans":
+                phi = grad2  # probe: drop sqrt+reciprocal (WRONG results)
+            else:
+                phi = 1.0 / (2.0 * jnp.sqrt(grad2))
             phi = jnp.where(ys == chv, pltpu.roll(phi, 2, 0), phi)
             phi = jnp.where(xs == cwv, pltpu.roll(phi, 2, 1), phi)
 
@@ -591,10 +592,17 @@ def _relax_bucket_full(
             xm_w = jnp.where(xs > 0, axv, 0.0)
             yp_w = jnp.where(ys < chv - 1, ayv, 0.0)
             ym_w = jnp.where(ys > 0, ayv, 0.0)
-            pwxp_ref[:] = (phi_xp_n + phi_c) * 0.5 * xp_w
-            pwxm_ref[:] = (phi_xm_n + phi_c) * 0.5 * xm_w
-            pwyp_ref[:] = (phi_yp_n + phi_c) * 0.5 * yp_w
-            pwym_ref[:] = (phi_ym_n + phi_c) * 0.5 * ym_w
+            if _ablate == "nophipw":
+                # probe: half-point average dropped (WRONG results)
+                pwxp_ref[:] = phi_c * xp_w
+                pwxm_ref[:] = phi_c * xm_w
+                pwyp_ref[:] = phi_c * yp_w
+                pwym_ref[:] = phi_c * ym_w
+            else:
+                pwxp_ref[:] = (phi_xp_n + phi_c) * 0.5 * xp_w
+                pwxm_ref[:] = (phi_xm_n + phi_c) * 0.5 * xm_w
+                pwyp_ref[:] = (phi_yp_n + phi_c) * 0.5 * yp_w
+                pwym_ref[:] = (phi_ym_n + phi_c) * 0.5 * ym_w
             sumH = pwxp_ref[:] + pwxm_ref[:] + pwyp_ref[:] + pwym_ref[:]
 
             du_c = tu - u_ref[:]
@@ -602,12 +610,18 @@ def _relax_bucket_full(
             fxc = const_refs[0][:]
             fyc = const_refs[1][:]
             ftc = const_refs[2][:]
-            sq = (
-                (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
-                + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
-                + (fxc * ftc * du_c + fyc * ftc * dv_c + ftc * ftc)
-            )
-            ksi = 1.0 / (2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2))
+            if _ablate == "noksi":
+                ksi = du_c + dv_c  # probe: drop data term (WRONG results)
+            else:
+                sq = (
+                    (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
+                    + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
+                    + (fxc * ftc * du_c + fyc * ftc * dv_c + ftc * ftc)
+                )
+                if _ablate == "notrans":
+                    ksi = jnp.maximum(sq, 0.0) + e_d2
+                else:
+                    ksi = 1.0 / (2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2))
             if grey:
                 J11, J22 = fxc * fxc, fyc * fyc
                 J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
@@ -626,6 +640,33 @@ def _relax_bucket_full(
             else:
                 dnu_ref[:] = ksi * J11 + sumH
                 dnv_ref[:] = ksi * J22 + sumH
+            return tu_sh, tv_sh
+
+        def outer_pass(src_tu_ref, src_tv_ref, alt_tu_ref, alt_tv_ref):
+            """One outer iteration: iterate arrives in (src_*); after
+            `inner` sweeps it lives in (alt_*) when inner is odd, else back
+            in (src_*)."""
+            if _ablate == "sweeponly":
+                # Timing probe: outer = 1+inner sweeps on stale hoists
+                # (WRONG results; isolates total prologue cost).
+                tu_sh0 = sh(src_tu_ref[:])
+                tv_sh0 = sh(src_tv_ref[:])
+                sweep_from_shifts(tu_sh0, tv_sh0, alt_tu_ref, alt_tv_ref)
+                for j in range(1, inner + 1):
+                    if j % 2 == 1:
+                        src_tu, src_tv = alt_tu_ref, alt_tv_ref
+                        dst_tu, dst_tv = src_tu_ref, src_tv_ref
+                    else:
+                        src_tu, src_tv = src_tu_ref, src_tv_ref
+                        dst_tu, dst_tv = alt_tu_ref, alt_tv_ref
+                    sweep_from_shifts(
+                        sh_sweep(src_tu[:]), sh_sweep(src_tv[:]), dst_tu, dst_tv
+                    )
+                return
+            if _ablate != "nomaintain":
+                maintain1(src_tu_ref)
+                maintain1(src_tv_ref)
+            tu_sh, tv_sh = prologue(src_tu_ref, src_tv_ref)
 
             # ---- sweeps: only the two iterate fields get shifted ----
             # Sweep 0 reuses the prologue's shift set verbatim (the iterate
@@ -642,6 +683,46 @@ def _relax_bucket_full(
                 sweep_from_shifts(
                     sh_sweep(src_tu[:]), sh_sweep(src_tv[:]), dst_tu, dst_tv
                 )
+
+        if loop_sweeps:
+            # Compact-code variant: fori-looped sweep PAIRS with fixed
+            # buffer roles (same op sequence as the unrolled path, plus a
+            # per-outer copy-back when the sweep count is even after the
+            # reused-shift sweep 0). ~4x less kernel code; used to probe
+            # whether per-launch cost tracks code size.
+            rem = inner - 1
+            rem_pairs, tail = rem // 2, rem % 2
+
+            def pair_body(_, c):
+                sweep_from_shifts(
+                    sh_sweep(tub_ref[:]), sh_sweep(tvb_ref[:]), du_ref, dv_ref
+                )
+                sweep_from_shifts(
+                    sh_sweep(du_ref[:]), sh_sweep(dv_ref[:]), tub_ref, tvb_ref
+                )
+                return c
+
+            def outer_body_loop(_, c):
+                maintain1(du_ref)
+                maintain1(dv_ref)
+                tu_sh, tv_sh = prologue(du_ref, dv_ref)
+                sweep_from_shifts(tu_sh, tv_sh, tub_ref, tvb_ref)  # sweep 0
+                if rem_pairs:
+                    jax.lax.fori_loop(0, rem_pairs, pair_body, 0)
+                if tail:
+                    sweep_from_shifts(
+                        sh_sweep(tub_ref[:]), sh_sweep(tvb_ref[:]),
+                        du_ref, dv_ref,
+                    )
+                else:
+                    du_ref[:] = tub_ref[:]
+                    dv_ref[:] = tvb_ref[:]
+                return c
+
+            jax.lax.fori_loop(0, cfg.outer_iterations_count, outer_body_loop, 0)
+            du_ref[:] = du_ref[:] - u_ref[:]
+            dv_ref[:] = dv_ref[:] - v_ref[:]
+            return
 
         # The iterate alternates buffers across outers when inner is odd;
         # unroll TWO outer passes per loop iteration with swapped roles

@@ -90,6 +90,108 @@ def box_weights_dyn(out_bucket: int, in_bucket: int, out_n, in_n) -> jax.Array:
     return jnp.where(in_range, frac * norm, 0.0)
 
 
+@functools.lru_cache(maxsize=4096)
+def banded_weights(out_bucket: int, in_bucket: int, out_n: int, in_n: int):
+    """Band extraction of the box-overlap matrix, padded to bucket dims.
+
+    Returns ``(idx, w)`` with ``idx`` (out_bucket,) int32 and ``w``
+    (B, out_bucket) float32 such that
+
+        out[o] = sum_b w[b, o] * in[idx[o] + b]
+
+    reproduces ``resample_weights(in_n, out_n) @ in`` exactly on the valid
+    region (the band values ARE the dense matrix's nonzeros — same f32
+    fractions) and writes zeros for o >= out_n (the bucket ghost region),
+    matching the dense bucketed matmul. ``idx + B - 1 < in_n`` always, so
+    no ghost/garbage input row is ever read.
+
+    The point: each output cell overlaps only ``ceil(in_n/out_n)+1`` input
+    cells, so the dense (out, in) matmul wastes a >95% zero band — this is
+    the same linear map at O(B * out_n) instead of O(out_n * in_n).
+    """
+    W = resample_weights(in_n, out_n)  # (out_n, in_n) exact fractions
+    nz = W != 0.0
+    first = nz.argmax(axis=1).astype(np.int64)
+    counts = nz.sum(axis=1)
+    B = int(counts.max())
+    start = np.minimum(first, in_n - B)
+    idx = np.zeros((out_bucket,), np.int32)
+    w = np.zeros((B, out_bucket), F)
+    idx[:out_n] = start.astype(np.int32)
+    for b in range(B):
+        w[b, :out_n] = W[np.arange(out_n), start + b]
+    return idx, w
+
+
+def _take(x: jax.Array, idx: np.ndarray, axis: int) -> jax.Array:
+    # Band indices are static and in-bounds by construction — skip the
+    # clamp lowering.
+    i = jnp.asarray(idx)
+    if axis == 0:
+        return x.at[i].get(mode="promise_in_bounds")
+    return x.at[:, i].get(mode="promise_in_bounds")
+
+
+def _apply_band_rows(x: jax.Array, idx: np.ndarray, w: np.ndarray) -> jax.Array:
+    """Banded resample along axis 0: (in_bucket, W) -> (out_bucket, W)."""
+    out = _take(x, idx, 0) * jnp.asarray(w[0])[:, None]
+    for b in range(1, w.shape[0]):
+        out = out + _take(x, idx + b, 0) * jnp.asarray(w[b])[:, None]
+    return out
+
+
+def _apply_band_cols(x: jax.Array, idx: np.ndarray, w: np.ndarray) -> jax.Array:
+    """Banded resample along axis 1: (H, in_bucket) -> (H, out_bucket).
+
+    TPUFLOW_BANDED_COLS=transpose routes through transpose + row gathers
+    (A/B probe: lane-axis gathers vs two relayouts; trace-time env).
+    """
+    import os
+
+    if os.environ.get("TPUFLOW_BANDED_COLS", "gather") == "transpose":
+        return _apply_band_rows(x.T, idx, w).T
+    out = _take(x, idx, 1) * jnp.asarray(w[0])[None, :]
+    for b in range(1, w.shape[0]):
+        out = out + _take(x, idx + b, 1) * jnp.asarray(w[b])[None, :]
+    return out
+
+
+def resample_banded(
+    x: jax.Array,
+    out_bucket_hw: tuple,
+    out_hw: tuple,
+    in_hw: tuple,
+) -> jax.Array:
+    """Bucketed box resample via banded gathers (static sizes only).
+
+    ``x`` is (in_hb, in_wb) with valid region ``in_hw`` = (in_h, in_w);
+    output is (out_hb, out_wb) = ``out_bucket_hw`` with the resampled field
+    in the valid ``out_hw`` region and zeros beyond — the same contract as
+    the dense ``wy @ (x @ wx.T)`` bucketed matmuls, in the same X-then-Y
+    application order (reference: cuda_operation_resample_2d.cpp:99-106).
+    """
+    out_hb, out_wb = out_bucket_hw
+    out_h, out_w = out_hw
+    in_h, in_w = in_hw
+    in_hb, in_wb = x.shape
+    # X (columns) first, then Y, matching the dense path's sequencing.
+    if (out_w, out_wb) == (in_w, in_wb):
+        t = x
+    else:
+        t = _apply_band_cols(x, *banded_weights(out_wb, in_wb, out_w, in_w))
+    if (out_h, out_hb) == (in_h, in_hb):
+        out = t
+    else:
+        out = _apply_band_rows(t, *banded_weights(out_hb, in_hb, out_h, in_h))
+    # Same-size axes skip the band, but then ghost rows/cols of the input
+    # leak through where the dense path wrote zeros: clear them.
+    if (out_w, out_wb) == (in_w, in_wb) and out_w < out_wb:
+        out = out * (np.arange(out_wb) < out_w).astype(F)[None, :]
+    if (out_h, out_hb) == (in_h, in_hb) and out_h < out_hb:
+        out = out * (np.arange(out_hb) < out_h).astype(F)[:, None]
+    return out
+
+
 def resample(img: jax.Array, out_w: int, out_h: int) -> jax.Array:
     """Resample an (H, W) image to (out_h, out_w) via two MXU matmuls."""
     in_h, in_w = img.shape

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from tpuflow.config import DataConstancy, FlowConfig
 from tpuflow.ops.gaussian import gaussian_smooth
 from tpuflow.ops.median import median
-from tpuflow.ops.resample import box_weights_dyn
+from tpuflow.ops.resample import box_weights_dyn, resample_banded
 from tpuflow.ops.solver_ops import (
     compute_phi_ksi_dyn,
     edge_weights_dyn,
@@ -393,13 +393,38 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig, use_pallas=None):
     if use_pallas is None:
         use_pallas = _pallas_relax_wanted(*u.shape, cfg)
     if use_pallas:
-        from tpuflow.ops.pallas.relax_bucket import relax_bucket_fused
+        from tpuflow.ops.pallas.relax_bucket import fits_full, relax_bucket_fused
 
         tensor = (
             None
             if cfg.data_constancy == DataConstancy.GREY
             else (J11, J22, J12, J13, J23)
         )
+        hb, wb = u.shape
+        # Static trim (unrolled pipeline: cw/ch are trace-time constants):
+        # the kernel only ever reads rows/cols up to the valid extent plus
+        # one mirror-ghost line, so run it on the 8/128-aligned sub-bucket
+        # and zero-pad the increment back. Valid-region numerics are
+        # bit-identical (every in-kernel consumer of the dropped region is
+        # weight-masked or beyond the ghost line); the bucket quantizes
+        # rows to 64, so mid levels save 10-40% of the sweep area.
+        if isinstance(ch, (int, np.integer)) and isinstance(cw, (int, np.integer)):
+            hb_eff = min(hb, -(-(int(ch) + 2) // 8) * 8)
+            wb_eff = min(wb, -(-(int(cw) + 2) // 128) * 128)
+        else:
+            hb_eff, wb_eff = hb, wb
+        if (hb_eff, wb_eff) != (hb, wb) and fits_full(hb_eff, wb_eff, cfg):
+            trim = lambda a: a[:hb_eff, :wb_eff]  # noqa: E731
+            args = [trim(a) for a in (fx, fy, ft, u, v)]
+            tensor_t = None if tensor is None else tuple(trim(a) for a in tensor)
+            du_t, dv_t = relax_bucket_fused(
+                *args, sc, cfg, tensor=tensor_t, force_mode="full"
+            )
+            zero = jnp.zeros((hb, wb), jnp.float32)
+            return (
+                zero.at[:hb_eff, :wb_eff].set(du_t),
+                zero.at[:hb_eff, :wb_eff].set(dv_t),
+            )
         return relax_bucket_fused(fx, fy, ft, u, v, sc, cfg, tensor=tensor)
 
     F = np.float32
@@ -485,35 +510,81 @@ def bucketed_level_step(
     hb, wb = bucket
     h0b, w0b = top_bucket
     # Profiling-only ablations (comma-separated TPUFLOW_ABLATE values:
-    # nowarp, nomedian, norelax): produce WRONG flow, used exclusively to
-    # attribute pipeline time by config-differencing in ONE session
-    # (tools/profile_ablate.py). Read at trace time.
+    # nowarp, nomedian, norelax, fakerelax, noresample, nomaintain):
+    # produce WRONG flow, used exclusively to attribute pipeline time by
+    # config-differencing in ONE session (tools/profile_ablate.py). Read
+    # at trace time. CAUTION: norelax makes zeros propagate through the
+    # whole pyramid, so XLA constant-folds every level away — it measures
+    # the empty program, NOT "pipeline minus relax"; use fakerelax (keeps
+    # data flowing through every other component) for that.
     ablate = set(filter(None, os.environ.get("TPUFLOW_ABLATE", "").split(",")))
 
     import jax.lax as lax
 
-    # Box-resample weights computed on device (exact reference fractions,
-    # tpuflow.ops.resample.box_weights_dyn) — no per-level uploads.
-    wy_f = box_weights_dyn(hb, h0b, chf, h0f)
-    wx_f = box_weights_dyn(wb, w0b, cwf, w0f)
-    wy_u = box_weights_dyn(hb, h0b, chf, prev_chf)
-    wx_u = box_weights_dyn(wb, w0b, cwf, prev_cwf)
+    # Resample-matmul precision (trace-time env probe): f32 matmuls on TPU
+    # are bf16 multi-pass emulations — HIGHEST=6 passes, HIGH=3, DEFAULT=1.
+    # Used by tools/profile_ablate.py to attribute matmul cost; HIGHEST is
+    # the production default (exact reference fractions need f32 accumulate).
+    _prec = {
+        "highest": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "default": lax.Precision.DEFAULT,
+    }[os.environ.get("TPUFLOW_MM_PRECISION", "highest")]
+
+    # TPUFLOW_BANDED_RESAMPLE=1: resample via banded gathers instead of the
+    # dense matmuls (box matrices are >95% zeros). RECORDED NEGATIVE
+    # RESULT, default OFF: XLA lowers the per-row dynamic gathers to a
+    # scalar path on TPU (~37 ms ADDED per pair, both gather axes and the
+    # transpose+row-gather variant; measured 2026-08-17, BASELINE.md),
+    # while the dense HIGHEST matmuls cost only ~1.3 ms total
+    # (tools/profile_ablate.py 6/3/1-pass fit). Kept (with parity tests)
+    # because the banded map is the right formulation if a fast gather/
+    # dynamic-slice lowering ever appears.
+    _scal = (int, float, np.integer, np.floating)
+    banded = (
+        os.environ.get("TPUFLOW_BANDED_RESAMPLE", "0") == "1"
+        and all(isinstance(s, _scal)
+                for s in (chf, cwf, h0f, w0f, prev_chf, prev_cwf))
+    )
+    if not banded:
+        # Box-resample weights computed on device (exact reference
+        # fractions, tpuflow.ops.resample.box_weights_dyn) — no per-level
+        # uploads.
+        wy_f = box_weights_dyn(hb, h0b, chf, h0f)
+        wx_f = box_weights_dyn(wb, w0b, cwf, w0f)
+        wy_u = box_weights_dyn(hb, h0b, chf, prev_chf)
+        wx_u = box_weights_dyn(wb, w0b, cwf, prev_cwf)
 
     # Frames, ALWAYS from full-res smoothed (reference: optical_flow_2d.cpp:283-304).
-    f0_l = jnp.matmul(wy_f, jnp.matmul(f0s, wx_f.T, precision=lax.Precision.HIGHEST),
-                      precision=lax.Precision.HIGHEST)
-    f1_l = jnp.matmul(wy_f, jnp.matmul(f1s, wx_f.T, precision=lax.Precision.HIGHEST),
-                      precision=lax.Precision.HIGHEST)
-    f0_l = maintain_mirror1(f0_l, cw, ch)
-    f1_l = maintain_mirror1(f1_l, cw, ch)
-
-    # Flow prolongation from the previous level (:315-340).
-    u = jnp.matmul(wy_u, jnp.matmul(u_prev, wx_u.T, precision=lax.Precision.HIGHEST),
-                   precision=lax.Precision.HIGHEST)
-    v = jnp.matmul(wy_u, jnp.matmul(v_prev, wx_u.T, precision=lax.Precision.HIGHEST),
-                   precision=lax.Precision.HIGHEST)
-    u = maintain_mirror2(u, cw, ch)
-    v = maintain_mirror2(v, cw, ch)
+    if "noresample" in ablate:
+        # Probe: slices instead of the box-weight matmuls (WRONG values,
+        # right shapes, data still flows).
+        f0_l, f1_l = f0s[:hb, :wb], f1s[:hb, :wb]
+        u, v = u_prev[:hb, :wb], v_prev[:hb, :wb]
+    elif banded:
+        out_hw = (int(chf), int(cwf))
+        f0_l = resample_banded(f0s, bucket, out_hw, (int(h0f), int(w0f)))
+        f1_l = resample_banded(f1s, bucket, out_hw, (int(h0f), int(w0f)))
+        u = resample_banded(u_prev, bucket, out_hw,
+                            (int(prev_chf), int(prev_cwf)))
+        v = resample_banded(v_prev, bucket, out_hw,
+                            (int(prev_chf), int(prev_cwf)))
+    else:
+        f0_l = jnp.matmul(wy_f, jnp.matmul(f0s, wx_f.T, precision=_prec),
+                          precision=_prec)
+        f1_l = jnp.matmul(wy_f, jnp.matmul(f1s, wx_f.T, precision=_prec),
+                          precision=_prec)
+        u = jnp.matmul(wy_u, jnp.matmul(u_prev, wx_u.T, precision=_prec),
+                       precision=_prec)
+        v = jnp.matmul(wy_u, jnp.matmul(v_prev, wx_u.T, precision=_prec),
+                       precision=_prec)
+    if "nomaintain" in ablate:
+        pass  # probe: skip level-step ghost upkeep (WRONG values)
+    else:
+        f0_l = maintain_mirror1(f0_l, cw, ch)
+        f1_l = maintain_mirror1(f1_l, cw, ch)
+        u = maintain_mirror2(u, cw, ch)
+        v = maintain_mirror2(v, cw, ch)
 
     # Backward registration (:343-363).
     if "nowarp" in ablate:
@@ -524,6 +595,12 @@ def bucketed_level_step(
 
     if "norelax" in ablate:
         du, dv = jnp.zeros_like(u), jnp.zeros_like(v)
+    elif "fakerelax" in ablate:
+        # Probe: relax replaced by a trivial consumer of the level
+        # constants (WRONG flow, nonzero so nothing constant-folds; keeps
+        # derivatives/warp/medians/resampling alive downstream).
+        fx_p, fy_p, ft_p, _ = level_constants(f0_l, f1_w, scalars, cfg)
+        du, dv = 1e-7 * (fx_p + ft_p), 1e-7 * (fy_p + ft_p)
     elif relax_fn is not None:
         du, dv = relax_fn(f0_l, f1_w, u, v, scalars, cfg)
     else:
@@ -624,12 +701,15 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
     top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
     h0b, w0b = top_bucket
     groups = _level_groups(specs, w0, h0, cfg)
+    # Profiling-only: TPUFLOW_ABLATE=nosmooth drops the presmooth convs
+    # (WRONG values; attributes their cost by config-differencing).
+    nosmooth = "nosmooth" in os.environ.get("TPUFLOW_ABLATE", "").split(",")
 
     @jax.jit
     def run(f0, f1):
-        f0s = gaussian_smooth(f0, cfg.gaussian_sigma)
+        f0s = f0 if nosmooth else gaussian_smooth(f0, cfg.gaussian_sigma)
         f0s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f0s)
-        f1s = gaussian_smooth(f1, cfg.gaussian_sigma)
+        f1s = f1 if nosmooth else gaussian_smooth(f1, cfg.gaussian_sigma)
         f1s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f1s)
         u = jnp.zeros((h0b, w0b), jnp.float32)
         v = jnp.zeros_like(u)
