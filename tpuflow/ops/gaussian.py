@@ -70,14 +70,49 @@ def _conv1d(img: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
     return out[0, 0]
 
 
+@functools.lru_cache(maxsize=256)
+def _conv_matrix(n: int, sigma: float) -> np.ndarray:
+    """(n, n) float32 banded Toeplitz matrix of the zero-padded 1-D conv.
+
+    ``M @ x`` computes the same tap-weighted sums as the reference's
+    zero-padded convolution kernels (convolution_2d.cu:74-261): row i
+    holds the taps centered at i, truncated at the edges (truncation IS
+    the zero padding).
+    """
+    taps = gaussian_kernel_taps(sigma)
+    radius = (len(taps) - 1) // 2
+    m = np.zeros((n, n), dtype=np.float32)
+    for i in range(n):
+        lo = max(0, i - radius)
+        hi = min(n, i + radius + 1)
+        m[i, lo:hi] = taps[lo - i + radius : hi - i + radius]
+    return m
+
+
 def gaussian_smooth(img: jax.Array, sigma: float) -> jax.Array:
     """Separable Gaussian smoothing, rows then columns (zero padding).
 
     No-op when sigma <= 0, matching the driver guard
     (reference: src/optical_flow/optical_flow_2d.cpp:218).
+
+    TPU-native form: the two 1-D convolutions are applied as banded
+    Toeplitz MATMULS (same zero-padded tap sums, f32 HIGHEST) — the
+    single-channel `lax.conv_general_dilated` lowering costs ~11 ms for
+    the two frames of a 584x388 pair on v5e (measured 2026-08-17,
+    tools/profile_levels.py `nosmooth` probe: HALF the whole pipeline),
+    while the matmul form is MXU work like the resample path.
+    TPUFLOW_SMOOTH=conv restores the conv lowering for A/B.
     """
     if sigma <= 0.0:
         return img
-    taps = jnp.asarray(gaussian_kernel_taps(float(sigma)))
-    tmp = _conv1d(img, taps, axis=1)  # rows first
-    return _conv1d(tmp, taps, axis=0)
+    import os
+
+    if os.environ.get("TPUFLOW_SMOOTH", "matmul") == "conv":
+        taps = jnp.asarray(gaussian_kernel_taps(float(sigma)))
+        tmp = _conv1d(img, taps, axis=1)  # rows first
+        return _conv1d(tmp, taps, axis=0)
+    h, w = img.shape
+    mx = jnp.asarray(_conv_matrix(w, float(sigma)))
+    my = jnp.asarray(_conv_matrix(h, float(sigma)))
+    tmp = jnp.matmul(img, mx.T, precision=lax.Precision.HIGHEST)  # rows first
+    return jnp.matmul(my, tmp, precision=lax.Precision.HIGHEST)
