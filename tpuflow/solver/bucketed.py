@@ -569,6 +569,27 @@ def bucketed_level_step(
                             (int(prev_chf), int(prev_cwf)))
         v = resample_banded(v_prev, bucket, out_hw,
                             (int(prev_chf), int(prev_cwf)))
+    elif (
+        all(isinstance(s, (int, float, np.integer, np.floating))
+            for s in (chf, cwf, h0f, w0f))
+        and (int(chf), int(cwf)) == (int(h0f), int(w0f))
+        and bucket == top_bucket
+    ):
+        # Finest level: the frame "resample" is the identity map — the
+        # dense path would still burn 4 full-size HIGHEST matmuls whose
+        # only effect is zeroing the ghost region. Mask instead (exact).
+        keep = (
+            (np.arange(hb) < int(chf)).astype(np.float32)[:, None]
+            * (np.arange(wb) < int(cwf)).astype(np.float32)[None, :]
+        )
+        f0_l = f0s * keep
+        f1_l = f1s * keep
+        wy_u = box_weights_dyn(hb, h0b, chf, prev_chf)
+        wx_u = box_weights_dyn(wb, w0b, cwf, prev_cwf)
+        u = jnp.matmul(wy_u, jnp.matmul(u_prev, wx_u.T, precision=_prec),
+                       precision=_prec)
+        v = jnp.matmul(wy_u, jnp.matmul(v_prev, wx_u.T, precision=_prec),
+                       precision=_prec)
     else:
         f0_l = jnp.matmul(wy_f, jnp.matmul(f0s, wx_f.T, precision=_prec),
                           precision=_prec)
@@ -592,6 +613,41 @@ def bucketed_level_step(
     else:
         f1_w = warp_dyn(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim)
         f1_w = maintain_mirror1(f1_w, cw, ch)
+
+    # Fused level tail: derivatives + relaxation + add + median as ONE
+    # Pallas kernel on the trimmed sub-bucket (ops/pallas/level_fused.py)
+    # — removes the per-level XLA kernel glue the pyramid-depth sweep
+    # attributed most of the non-relax time to. Static (unrolled) levels
+    # on TPU only; TPUFLOW_FUSED_LEVEL=0 opts out.
+    if (
+        not ablate
+        and relax_fn is None
+        and use_pallas is not False
+        and os.environ.get("TPUFLOW_FUSED_LEVEL", "1") != "0"
+        and isinstance(ch, (int, np.integer))
+        and isinstance(cw, (int, np.integer))
+        and all(isinstance(s, (int, float, np.integer, np.floating))
+                for s in scalars[:20])
+        and _pallas_relax_wanted(hb, wb, cfg)
+    ):
+        from tpuflow.ops.pallas.level_fused import (
+            _ghost_r, level_fused, level_fused_supported,
+        )
+
+        need = max(2, _ghost_r(cfg))
+        hb_eff = min(hb, -(-(int(ch) + need) // 8) * 8)
+        wb_eff = min(wb, -(-(int(cw) + need) // 128) * 128)
+        if level_fused_supported(hb_eff, wb_eff, cfg):
+            trim = lambda a: a[:hb_eff, :wb_eff]  # noqa: E731
+            u_t, v_t = level_fused(
+                trim(f0_l), trim(f1_w), trim(u), trim(v), scalars, cfg
+            )
+            u_out = jnp.zeros((h0b, w0b), jnp.float32)
+            v_out = jnp.zeros((h0b, w0b), jnp.float32)
+            return (
+                u_out.at[:hb_eff, :wb_eff].set(u_t),
+                v_out.at[:hb_eff, :wb_eff].set(v_t),
+            )
 
     if "norelax" in ablate:
         du, dv = jnp.zeros_like(u), jnp.zeros_like(v)
