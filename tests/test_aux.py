@@ -65,6 +65,26 @@ def test_process_sequence_and_resume(tmp_path):
     }
 
 
+def test_process_sequence_chained_matches_unchained(tmp_path):
+    # chain=2 over 3 pairs (one full chunk + a padded tail chunk) must
+    # write byte-identical flow files to the per-pair path.
+    pairs = make_seq(str(tmp_path), n=4)
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    done1 = process_sequence(pairs, 24, 16, out1, CFG)
+    done2 = process_sequence(pairs, 24, 16, out2, CFG, chain=2)
+    assert sorted(done1) == sorted(done2) == ["00000_", "00001_", "00002_"]
+    for pid in done1:
+        for stem in (f"{pid}flow-u-24-16.raw", f"{pid}flow-v-24-16.raw",
+                     f"{pid}res.pgm", f"{pid}amp-24-16.raw"):
+            b1 = open(os.path.join(out1, stem), "rb").read()
+            b2 = open(os.path.join(out2, stem), "rb").read()
+            assert b1 == b2, stem
+
+    # Resume works in chained mode too.
+    assert process_sequence(pairs, 24, 16, out2, CFG, chain=2) == []
+
+
 def test_profiling_trace_contextmanager(tmp_path):
     from tpuflow.utils.profiling import trace
 

@@ -86,7 +86,8 @@ def _sequence_mode(flags) -> int:
     cfg = FlowConfig()
     if flags.constancy:
         cfg = dataclasses.replace(cfg, data_constancy=DataConstancy(flags.constancy))
-    completed = process_sequence(pairs, w, h, flags.out, cfg)
+    completed = process_sequence(pairs, w, h, flags.out, cfg,
+                                 chain=flags.chain)
     if not flags.quiet:
         print(f"processed {len(completed)} pairs -> {flags.out}")
     return 0
@@ -103,6 +104,11 @@ def main(argv=None) -> int:
     parser.add_argument("--size", metavar="WxH",
                         help="frame size for --sequence mode, e.g. 584x388")
     parser.add_argument("--out", metavar="DIR", help="output dir for --sequence")
+    parser.add_argument("--chain", type=int, default=1, metavar="N",
+                        help="solve N pairs per dispatch in --sequence mode "
+                             "(ONE compiled program + ONE stacked download "
+                             "per N pairs; amortizes per-call dispatch and "
+                             "host round-trip costs on tunneled backends)")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--help", action="help")
     flags, positional = parser.parse_known_args(argv)

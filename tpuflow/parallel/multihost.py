@@ -73,6 +73,7 @@ def process_sequence(
     *,
     resume: bool = True,
     flow_max_scale: float = 10.0,
+    chain: int = 1,
 ) -> List[str]:
     """Stream a sequence of frame-pair files through the solver.
 
@@ -83,6 +84,21 @@ def process_sequence(
     Host I/O overlaps device compute: the next pair's frames are read and
     submitted while previous results are still materializing (async
     dispatch), so a long sequence keeps the chip busy.
+
+    chain > 1 switches to the CHUNK-FETCH streaming mode: ``chain`` pairs
+    are submitted as independent async calls of the same single-pair
+    program (submission already overlaps device compute), their flows are
+    stacked ON DEVICE, and the stack leaves in ONE host fetch. On tunneled
+    dispatch paths every fetch costs a ~64 ms round trip that serializes
+    against submissions; chunking amortizes it by ``chain``. Per-pair
+    values are bit-identical to the unchained path (tested).
+
+    (Negative result, recorded in BASELINE.md: solving the chunk inside
+    one program via `lax.scan` over pairs measured ~3x SLOWER per pair
+    than chained calls of the single-pair program — the scan wraps the
+    whole unrolled pipeline in a while loop and defeats XLA's scheduling
+    around the per-level Mosaic kernels. Chunking only the FETCH keeps
+    the fast program.)
     """
     import time
 
@@ -126,6 +142,48 @@ def process_sequence(
     files = [p for _, p0, p1 in my_pairs for p in (p0, p1)]
     import jax.numpy as jnp
     from concurrent.futures import ThreadPoolExecutor
+
+    def drain_chunk(entry):
+        ids, uv_dev, t_submit = entry
+        uvs = np.asarray(uv_dev)  # ONE fetch for the whole chunk
+        for i, pair_id in enumerate(ids):
+            u, v = uvs[0, i], uvs[1, i]
+            suffix = f"-{width}-{height}.raw"
+            write_raw_f32(os.path.join(output_dir, f"{pair_id}flow-u{suffix}"), u)
+            write_raw_f32(os.path.join(output_dir, f"{pair_id}flow-v{suffix}"), v)
+            write_flow_image_rgb(u, v, flow_max_scale,
+                                 os.path.join(output_dir, f"{pair_id}res.pgm"))
+            write_magnitude_f32(u, v,
+                                os.path.join(output_dir, f"{pair_id}amp{suffix}"))
+            manifest.record(pair_id, time.perf_counter() - t_submit)
+            completed.append(pair_id)
+
+    if chain > 1 and my_pairs:
+        with FrameLoader(files, width, height) as loader, \
+                ThreadPoolExecutor(max_workers=1) as writer:
+            futures = []
+            for c0 in range(0, len(my_pairs), chain):
+                chunk = my_pairs[c0:c0 + chain]
+                t_submit = time.perf_counter()
+                uvs = []
+                for _pid, _p0, _p1 in chunk:
+                    f0 = loader.next()
+                    f1 = loader.next()
+                    u_dev, v_dev = compute_flow_async(f0, f1, cfg)
+                    uvs.append((u_dev, v_dev))
+                stacked = jnp.stack([
+                    jnp.stack([u for u, _ in uvs]),
+                    jnp.stack([v for _, v in uvs]),
+                ])
+                ids = [pid for pid, _, _ in chunk]
+                futures.append(
+                    writer.submit(drain_chunk, (ids, stacked, t_submit))
+                )
+                if len(futures) >= 3:
+                    futures.pop(0).result()
+            for f in futures:
+                f.result()
+        return completed
 
     # Downloads + disk writes run on ONE background worker (ordering
     # preserved) so the blocking host materialization of pair k overlaps
