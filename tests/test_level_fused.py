@@ -110,3 +110,172 @@ def test_multi_iteration_mean_epe_bounded(outer, inner, constancy):
         np.asarray(got_v)[:CH, :CW] - np.asarray(want_v)[:CH, :CW],
     ).mean()
     assert epe < 1e-3, (constancy, epe)
+
+
+# ---------------------------------------------------------------------------
+# Whole-level kernel (resample -> ONE Mosaic kernel, trimmed carries)
+# ---------------------------------------------------------------------------
+
+def test_warp_max_disp_pinned():
+    # level_fused duplicates the constant to avoid a module cycle.
+    from tpuflow.ops.pallas import level_fused as lf
+    from tpuflow.solver import bucketed as bk
+
+    assert lf.WARP_MAX_DISP == bk.WARP_MAX_DISP
+
+
+def _whole_setup(seed=7, flow_scale=0.4, h0=48, w0=72, prev=(32, 21),
+                 level=(36, 24)):
+    """Frames at full res (top bucket) + a previous-level trimmed flow."""
+    from tpuflow.solver.bucketed import bucket_dims
+
+    rng = np.random.default_rng(seed)
+    cw, ch = level
+    prev_cw, prev_ch = prev
+    top_bucket = bucket_dims(w0, h0)
+    h0b, w0b = top_bucket
+
+    f = np.zeros((2, h0b, w0b), np.float32)
+    f[:, :h0, :w0] = np.abs(
+        rng.standard_normal((2, h0, w0))
+    ).astype(np.float32) * 60.0 + 20.0
+
+    prev_eff = (
+        -(-(prev_ch + 2) // 8) * 8,
+        -(-(prev_cw + 2) // 128) * 128,
+    )
+    u_t = np.zeros(prev_eff, np.float32)
+    v_t = np.zeros(prev_eff, np.float32)
+    u_t[:prev_ch, :prev_cw] = (
+        rng.standard_normal((prev_ch, prev_cw)).astype(np.float32) * flow_scale
+    )
+    v_t[:prev_ch, :prev_cw] = (
+        rng.standard_normal((prev_ch, prev_cw)).astype(np.float32) * flow_scale
+    )
+
+    sc = LevelScalars.make(
+        cw, ch, w0 / cw, h0 / ch, 35.0, w0, h0, prev_cw, prev_ch
+    ).tree()
+    return jnp.asarray(f), jnp.asarray(u_t), jnp.asarray(v_t), sc, top_bucket
+
+
+def _classic_level(f, u_t, v_t, sc, bucket, top_bucket, cfg):
+    """The pre-trim reference: embed the carry, run the classic step."""
+    from tpuflow.solver.bucketed import bucketed_level_step
+
+    h0b, w0b = top_bucket
+    u_prev = jnp.zeros((h0b, w0b), jnp.float32).at[
+        : u_t.shape[0], : u_t.shape[1]
+    ].set(u_t)
+    v_prev = jnp.zeros((h0b, w0b), jnp.float32).at[
+        : v_t.shape[0], : v_t.shape[1]
+    ].set(v_t)
+    return bucketed_level_step(
+        f[0], f[1], u_prev, v_prev, sc, bucket, top_bucket, cfg,
+        use_pallas=False,
+    )
+
+
+@pytest.mark.parametrize(
+    "constancy",
+    [DataConstancy.GREY, DataConstancy.GRADIENT, DataConstancy.LOG_DERIVATIVES],
+)
+def test_whole_level_single_sweep_matches_classic(constancy):
+    from tpuflow.solver.bucketed import (
+        _trim_eff, bucketed_level_step_trim, bucket_dims,
+    )
+
+    f, u_t, v_t, sc, top_bucket = _whole_setup()
+    cfg = FlowConfig(
+        outer_iterations_count=1, inner_iterations_count=1,
+        median_radius=5, data_constancy=constancy,
+    )
+    bucket = bucket_dims(int(sc[0]), int(sc[1]))
+    eff = _trim_eff(bucket, sc, cfg)
+    got_u, got_v = bucketed_level_step_trim(
+        f, u_t, v_t, sc, eff, top_bucket, False, cfg, interpret=True
+    )
+    assert got_u.shape == eff
+    want_u, want_v = _classic_level(f, u_t, v_t, sc, bucket, top_bucket, cfg)
+    ch, cw = int(sc[1]), int(sc[0])
+    d = np.maximum(
+        np.abs(np.asarray(got_u)[:ch, :cw] - np.asarray(want_u)[:ch, :cw]),
+        np.abs(np.asarray(got_v)[:ch, :cw] - np.asarray(want_v)[:ch, :cw]),
+    )
+    assert d.max() < 1e-4, (constancy, d.max())
+
+
+def test_whole_level_multi_iteration_epe_bounded():
+    from tpuflow.solver.bucketed import (
+        _trim_eff, bucketed_level_step_trim, bucket_dims,
+    )
+
+    f, u_t, v_t, sc, top_bucket = _whole_setup()
+    cfg = FlowConfig(
+        outer_iterations_count=3, inner_iterations_count=5, median_radius=5,
+    )
+    bucket = bucket_dims(int(sc[0]), int(sc[1]))
+    eff = _trim_eff(bucket, sc, cfg)
+    got_u, got_v = bucketed_level_step_trim(
+        f, u_t, v_t, sc, eff, top_bucket, False, cfg, interpret=True
+    )
+    want_u, want_v = _classic_level(f, u_t, v_t, sc, bucket, top_bucket, cfg)
+    ch, cw = int(sc[1]), int(sc[0])
+    epe = np.hypot(
+        np.asarray(got_u)[:ch, :cw] - np.asarray(want_u)[:ch, :cw],
+        np.asarray(got_v)[:ch, :cw] - np.asarray(want_v)[:ch, :cw],
+    ).mean()
+    assert epe < 1e-3, epe
+
+
+def test_whole_level_outlier_fallback_matches_classic():
+    # Displacements beyond the warp fast window must take the XLA gather
+    # branch and still match the classic step exactly (same code path).
+    from tpuflow.solver.bucketed import (
+        _trim_eff, bucketed_level_step_trim, bucket_dims, warp_small_pred,
+    )
+
+    f, u_t, v_t, sc, top_bucket = _whole_setup(flow_scale=24.0)
+    cfg = FlowConfig(
+        outer_iterations_count=2, inner_iterations_count=2, median_radius=3,
+    )
+    bucket = bucket_dims(int(sc[0]), int(sc[1]))
+    eff = _trim_eff(bucket, sc, cfg)
+    got_u, got_v = bucketed_level_step_trim(
+        f, u_t, v_t, sc, eff, top_bucket, False, cfg, interpret=True
+    )
+    want_u, want_v = _classic_level(f, u_t, v_t, sc, bucket, top_bucket, cfg)
+    ch, cw = int(sc[1]), int(sc[0])
+    np.testing.assert_allclose(
+        np.asarray(got_u)[:ch, :cw], np.asarray(want_u)[:ch, :cw], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_v)[:ch, :cw], np.asarray(want_v)[:ch, :cw], atol=1e-5
+    )
+
+
+def test_whole_level_finest_identity_matches_classic():
+    # The finest level (resample == identity + ghost mask).
+    from tpuflow.solver.bucketed import (
+        _trim_eff, bucketed_level_step_trim, bucket_dims,
+    )
+
+    h0, w0 = 40, 56
+    f, u_t, v_t, sc, top_bucket = _whole_setup(
+        h0=h0, w0=w0, prev=(50, 36), level=(w0, h0)
+    )
+    cfg = FlowConfig(
+        outer_iterations_count=2, inner_iterations_count=3, median_radius=5,
+    )
+    bucket = bucket_dims(w0, h0)
+    assert bucket == top_bucket
+    eff = _trim_eff(bucket, sc, cfg)
+    got_u, got_v = bucketed_level_step_trim(
+        f, u_t, v_t, sc, eff, top_bucket, True, cfg, interpret=True
+    )
+    want_u, want_v = _classic_level(f, u_t, v_t, sc, bucket, top_bucket, cfg)
+    epe = np.hypot(
+        np.asarray(got_u)[:h0, :w0] - np.asarray(want_u)[:h0, :w0],
+        np.asarray(got_v)[:h0, :w0] - np.asarray(want_v)[:h0, :w0],
+    ).mean()
+    assert epe < 1e-3, epe

@@ -176,34 +176,14 @@ class LevelScalars:
 WARP_MAX_DISP = 4
 
 
-def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
-    """Bilinear backward warp with traced valid extent
-    (reference: registration_2d.cu:48-72).
+def _warp_coords(u, v, inv_hx, inv_hy, wlim, hlim):
+    """Shared warp coordinate fields (reference: registration_2d.cu:48-55).
 
-    General gathers cost ~4 ns/element on the TPU scalar path (~5 ms per
-    584x388 warp); displacements after coarse-to-fine prolongation are
-    almost always a few pixels, so the default path expresses the warp as a
-    masked sum over (2D+2)^2 static shifts of f1 — pure VPU work — with a
-    separable factorization that keeps it to ~(2D+2)^2 FMAs/pixel. A
-    runtime `lax.cond` falls back to the exact gather when any displacement
-    exceeds the window.
-
-    Note the reference's edge clamp (x1 = min(w-1, x0+1)) only differs from
-    x0+1 where the corresponding bilinear weight is exactly zero (x_f >
-    w-1 is "invalid" and copies frame_0), so unclamped taps are exact.
-
-    Cliff (recorded design decision): ONE pixel beyond +-WARP_MAX_DISP
-    flips the whole level to the gather path (~5 ms/level on the scalar
-    path vs ~0.05 ms fast path). The alternative — clamping outliers into
-    the window — would silently deviate from the reference's exact warp
-    for those pixels and break the oracle EPE contract on violent-motion
-    inputs, so exactness wins: after coarse-to-fine prolongation the
-    per-level flow INCREMENT is almost always sub-pixel and the fallback
-    has never been observed on the benchmark workloads. If a workload
-    lives near the cliff, raise WARP_MAX_DISP (cost grows ~(2D+2)^2 VPU
-    ops, still far from the gather path's cost at D<=8).
+    Returns (invalid, x0, y0, dxq, dyq, w00, w01, w10, w11): the
+    out-of-bounds/NaN mask, integer base coords, integer shift fields
+    (zero at invalid pixels), and bilinear weights.
     """
-    hb, wb = f0.shape
+    hb, wb = u.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 0)
     x_f = xs + u * inv_hx
@@ -236,6 +216,72 @@ def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
     w01 = dx * (one - dy)
     w10 = (one - dx) * dy
     w11 = dx * dy
+    return invalid, x0, y0, dxq, dyq, w00, w01, w10, w11
+
+
+def warp_small_pred(u, v, inv_hx, inv_hy, wlim, hlim):
+    """True iff every displacement fits the warp fast path's +-D window —
+    the exact predicate warp_dyn's internal cond uses, computable from the
+    UNMAINTAINED resampled flow (ghost pixels are invalid -> dxq = 0)."""
+    _, _, _, dxq, dyq, *_ = _warp_coords(u, v, inv_hx, inv_hy, wlim, hlim)
+    D = WARP_MAX_DISP
+    return (jnp.max(jnp.abs(dxq)) <= D) & (jnp.max(jnp.abs(dyq)) <= D)
+
+
+def warp_gather(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
+    """Exact gather warp (warp_dyn's slow path, without the fast branch) —
+    the fallback for levels whose displacements exceed the fast window."""
+    hb, wb = f0.shape
+    invalid, x0, y0, _, _, w00, w01, w10, w11 = _warp_coords(
+        u, v, inv_hx, inv_hy, wlim, hlim
+    )
+    x1 = jnp.minimum(cw - 1, x0 + 1)
+    y1 = jnp.minimum(ch - 1, y0 + 1)
+    flat = f1.reshape(-1)
+
+    def at(yy, xx):
+        return jnp.take(flat, yy * wb + xx, axis=0)
+
+    value = (
+        w00 * at(y0, x0)
+        + w01 * at(y0, x1)
+        + w10 * at(y1, x0)
+        + w11 * at(y1, x1)
+    )
+    return jnp.where(invalid, f0, value)
+
+
+def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
+    """Bilinear backward warp with traced valid extent
+    (reference: registration_2d.cu:48-72).
+
+    General gathers cost ~4 ns/element on the TPU scalar path (~5 ms per
+    584x388 warp); displacements after coarse-to-fine prolongation are
+    almost always a few pixels, so the default path expresses the warp as a
+    masked sum over (2D+2)^2 static shifts of f1 — pure VPU work — with a
+    separable factorization that keeps it to ~(2D+2)^2 FMAs/pixel. A
+    runtime `lax.cond` falls back to the exact gather when any displacement
+    exceeds the window.
+
+    Note the reference's edge clamp (x1 = min(w-1, x0+1)) only differs from
+    x0+1 where the corresponding bilinear weight is exactly zero (x_f >
+    w-1 is "invalid" and copies frame_0), so unclamped taps are exact.
+
+    Cliff (recorded design decision): ONE pixel beyond +-WARP_MAX_DISP
+    flips the whole level to the gather path (~5 ms/level on the scalar
+    path vs ~0.05 ms fast path). The alternative — clamping outliers into
+    the window — would silently deviate from the reference's exact warp
+    for those pixels and break the oracle EPE contract on violent-motion
+    inputs, so exactness wins: after coarse-to-fine prolongation the
+    per-level flow INCREMENT is almost always sub-pixel and the fallback
+    has never been observed on the benchmark workloads. If a workload
+    lives near the cliff, raise WARP_MAX_DISP (cost grows ~(2D+2)^2 VPU
+    ops, still far from the gather path's cost at D<=8).
+    """
+    hb, wb = f0.shape
+    invalid, x0, y0, dxq, dyq, w00, w01, w10, w11 = _warp_coords(
+        u, v, inv_hx, inv_hy, wlim, hlim
+    )
 
     D = WARP_MAX_DISP
 
@@ -680,6 +726,143 @@ def bucketed_level_step(
     return u_out, v_out
 
 
+def _whole_level_eligible(scalars, bucket, cfg: FlowConfig):
+    """(hb_eff, wb_eff) when the whole-level Pallas path applies, else None.
+
+    Static-only (unrolled pipeline): requires trace-time scalars, a TPU
+    backend, no profiling probes, and the trimmed working set fitting
+    VMEM (level_fused_whole_supported). TPUFLOW_WHOLE_LEVEL=0 opts out.
+    """
+    import os
+
+    if (
+        os.environ.get("TPUFLOW_WHOLE_LEVEL", "1") == "0"
+        or os.environ.get("TPUFLOW_FUSED_LEVEL", "1") == "0"
+        or os.environ.get("TPUFLOW_DISABLE_PALLAS") == "1"
+        or os.environ.get("TPUFLOW_ABLATE", "")
+        or os.environ.get("TPUFLOW_BANDED_RESAMPLE", "0") == "1"
+        or os.environ.get("TPUFLOW_MM_PRECISION", "highest") != "highest"
+    ):
+        return None
+    if not all(isinstance(s, (int, float, np.integer, np.floating))
+               for s in scalars[:20]):
+        return None
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        platform = "cpu"
+    if platform != "tpu":
+        return None
+    from tpuflow.ops.pallas.level_fused import (
+        _ghost_r, level_fused_whole_supported,
+    )
+
+    cw, ch = int(scalars[0]), int(scalars[1])
+    hb, wb = bucket
+    need = max(2, _ghost_r(cfg))
+    hb_eff = min(hb, -(-(ch + need) // 8) * 8)
+    wb_eff = min(wb, -(-(cw + need) // 128) * 128)
+    if not level_fused_whole_supported(hb_eff, wb_eff, cfg):
+        return None
+    return hb_eff, wb_eff
+
+
+def _trim_eff(bucket, scalars, cfg: FlowConfig) -> Tuple[int, int]:
+    """The 8/128-aligned valid+ghost sub-bucket (trimmed carry shape)."""
+    from tpuflow.ops.pallas.level_fused import _ghost_r
+
+    cw, ch = int(scalars[0]), int(scalars[1])
+    hb, wb = bucket
+    need = max(2, _ghost_r(cfg))
+    return (
+        min(hb, -(-(ch + need) // 8) * 8),
+        min(wb, -(-(cw + need) // 128) * 128),
+    )
+
+
+def bucketed_level_step_trim(
+    f0s2,                # (2, H0b, W0b) stacked smoothed frames
+    u_t, v_t,            # previous level's flow at ITS trimmed bucket
+    scalars,             # LevelScalars.tree() — STATIC values (unrolled)
+    eff: Tuple[int, int],    # this level's trimmed bucket (hb_eff, wb_eff)
+    top_bucket: Tuple[int, int],
+    is_finest_identity: bool,
+    cfg: FlowConfig,
+    *,
+    interpret: bool = False,
+):
+    """One pyramid level as ``batched resample matmuls -> ONE Mosaic
+    kernel`` with flow carried at TRIMMED bucket shapes between levels
+    (no top-bucket embed: the next level's prolongation weights read only
+    columns/rows below the previous valid extent, so trimming is exact).
+
+    The kernel absorbs ghost maintenance, the backward warp (fast path),
+    derivatives, relaxation, add and median (ops/pallas/level_fused.py
+    ``level_fused_whole``). Levels whose displacements exceed the warp
+    fast window take an XLA fallback branch (exact predicate, the same
+    one warp_dyn's internal cond uses) built from the compile-cheap scan
+    relaxation — correctness on violent-motion inputs is preserved at
+    XLA speed, which only ever costs on those rare levels.
+
+    Returns (u, v) at ``eff``.
+    """
+    from tpuflow.ops.pallas.level_fused import level_fused_whole
+
+    (cw, ch, inv_hx, inv_hy, _d2x, _d2y, _d4x, _d4y, _ax, _ay, wlim, hlim,
+     cwf, chf, w0f, h0f, prev_cwf, prev_chf) = scalars[:18]
+    hb_eff, wb_eff = eff
+    h0b, w0b = top_bucket
+    prev_hb, prev_wb = u_t.shape
+    import jax.lax as lax
+
+    _prec = lax.Precision.HIGHEST
+
+    # Frames, ALWAYS from full-res smoothed (reference:
+    # optical_flow_2d.cpp:283-304) — both frames share one weight pair,
+    # so they resample as ONE batched matmul chain.
+    if is_finest_identity:
+        keep = (
+            (np.arange(hb_eff) < int(chf)).astype(np.float32)[:, None]
+            * (np.arange(wb_eff) < int(cwf)).astype(np.float32)[None, :]
+        )
+        fl = f0s2[:, :hb_eff, :wb_eff] * keep
+    else:
+        wy_f = box_weights_dyn(hb_eff, h0b, chf, h0f)
+        wx_f = box_weights_dyn(wb_eff, w0b, cwf, w0f)
+        fl = jnp.matmul(wy_f, jnp.matmul(f0s2, wx_f.T, precision=_prec),
+                        precision=_prec)
+    # Flow prolongation from the previous level's trimmed carry.
+    wy_u = box_weights_dyn(hb_eff, prev_hb, chf, prev_chf)
+    wx_u = box_weights_dyn(wb_eff, prev_wb, cwf, prev_cwf)
+    uv = jnp.stack([u_t, v_t])
+    uv = jnp.matmul(wy_u, jnp.matmul(uv, wx_u.T, precision=_prec),
+                    precision=_prec)
+    res = jnp.concatenate([fl, uv], axis=0)  # (4, hb_eff, wb_eff)
+
+    pred = warp_small_pred(uv[0], uv[1], inv_hx, inv_hy, wlim, hlim)
+
+    def fast(res):
+        return level_fused_whole(res, scalars, cfg, interpret=interpret)
+
+    def slow(res):
+        f0_l = maintain_mirror1(res[0], cw, ch)
+        f1_l = maintain_mirror1(res[1], cw, ch)
+        u = maintain_mirror2(res[2], cw, ch)
+        v = maintain_mirror2(res[3], cw, ch)
+        f1_w = maintain_mirror1(
+            warp_gather(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim),
+            cw, ch,
+        )
+        du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg, use_pallas=False)
+        uu, vv = u + du, v + dv
+        ghost_r = max(2, (cfg.median_radius - 1) // 2)
+        uu = maintain_mirror(uu, cw, ch, ghost_r)
+        vv = maintain_mirror(vv, cw, ch, ghost_r)
+        return median(uu, cfg.median_radius), median(vv, cfg.median_radius)
+
+    return jax.lax.cond(pred, fast, slow, res)
+
+
 @functools.lru_cache(maxsize=256)
 def compiled_bucketed_level(bucket: Tuple[int, int], top_bucket: Tuple[int, int],
                             cfg: FlowConfig):
@@ -767,16 +950,51 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
         f0s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f0s)
         f1s = f1 if nosmooth else gaussian_smooth(f1, cfg.gaussian_sigma)
         f1s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f1s)
+
+        if unroll:
+            # Trimmed-carry unrolled pipeline: flow travels between levels
+            # at each level's 8/128-aligned valid+ghost sub-bucket (the
+            # prolongation weights read only rows/cols below the previous
+            # valid extent, so trimming is exact) — no per-level top-bucket
+            # embed. Whole-level-kernel levels run as 2 batched resample
+            # matmul chains + ONE Mosaic kernel; ineligible levels (CPU,
+            # probes, VMEM-gated 1080p-class buckets) fall back to the
+            # classic step via an embed/trim pair at the boundary.
+            f0s2 = jnp.stack([f0s, f1s])
+            u_t = jnp.zeros((8, 128), jnp.float32)
+            v_t = jnp.zeros_like(u_t)
+            for bucket, stacked in groups:
+                for i in range(stacked[0].shape[0]):
+                    sc = tuple(col[i] for col in stacked)
+                    eff = _whole_level_eligible(sc, bucket, cfg)
+                    if eff is not None:
+                        fin = (
+                            (int(sc[13]), int(sc[12]))
+                            == (int(sc[15]), int(sc[14]))
+                            and bucket == top_bucket
+                        )
+                        u_t, v_t = bucketed_level_step_trim(
+                            f0s2, u_t, v_t, sc, eff, top_bucket, fin, cfg
+                        )
+                    else:
+                        eff2 = _trim_eff(bucket, sc, cfg)
+                        u_prev = jnp.zeros((h0b, w0b), jnp.float32).at[
+                            : u_t.shape[0], : u_t.shape[1]
+                        ].set(u_t)
+                        v_prev = jnp.zeros((h0b, w0b), jnp.float32).at[
+                            : v_t.shape[0], : v_t.shape[1]
+                        ].set(v_t)
+                        uu, vv = bucketed_level_step(
+                            f0s, f1s, u_prev, v_prev, sc, bucket,
+                            top_bucket, cfg,
+                        )
+                        u_t = uu[: eff2[0], : eff2[1]]
+                        v_t = vv[: eff2[0], : eff2[1]]
+            return u_t[:h0, :w0], v_t[:h0, :w0]
+
         u = jnp.zeros((h0b, w0b), jnp.float32)
         v = jnp.zeros_like(u)
         for bucket, stacked in groups:
-            if unroll:
-                for i in range(stacked[0].shape[0]):
-                    sc = tuple(col[i] for col in stacked)
-                    u, v = bucketed_level_step(
-                        f0s, f1s, u, v, sc, bucket, top_bucket, cfg
-                    )
-                continue
 
             def body(carry, sc, bucket=bucket):
                 uu, vv = bucketed_level_step(
