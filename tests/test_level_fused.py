@@ -279,3 +279,4 @@ def test_whole_level_finest_identity_matches_classic():
         np.asarray(got_v)[:h0, :w0] - np.asarray(want_v)[:h0, :w0],
     ).mean()
     assert epe < 1e-3, epe
+

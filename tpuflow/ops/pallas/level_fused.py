@@ -165,6 +165,7 @@ def _warp_shift_sum(c, f0m, f1m, um, vm, ys, xs):
     NaN -> copy-frame_0 rule). Shifts use wrapping rolls instead of edge
     padding; wrapped reads are only ever multiplied by an exactly-zero
     mask (see module docstring).
+
     """
     D = WARP_MAX_DISP
     xs_f = xs.astype(jnp.float32)
@@ -579,3 +580,4 @@ def level_fused_whole(
         ),
         interpret=interpret,
     )(resampled)
+

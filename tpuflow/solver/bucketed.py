@@ -780,6 +780,42 @@ def _trim_eff(bucket, scalars, cfg: FlowConfig) -> Tuple[int, int]:
     )
 
 
+def _resample_trim(f0s2, u_t, v_t, scalars, eff, top_bucket,
+                   is_finest_identity: bool):
+    """(4, hb_eff, wb_eff) stack [f0_l, f1_l, u, v] for one level: frames
+    box-resampled from the full-res smoothed stack (reference:
+    optical_flow_2d.cpp:283-304 — always from full res, never cascaded),
+    flow prolongated from the previous level's trimmed carry. Both pairs
+    share weight matrices, so each resamples as ONE batched matmul chain.
+    """
+    import jax.lax as lax
+
+    (_cw, _ch, _ihx, _ihy, _d2x, _d2y, _d4x, _d4y, _ax, _ay, _wl, _hl,
+     cwf, chf, w0f, h0f, prev_cwf, prev_chf) = scalars[:18]
+    hb_eff, wb_eff = eff
+    h0b, w0b = top_bucket
+    prev_hb, prev_wb = u_t.shape
+    _prec = lax.Precision.HIGHEST
+
+    if is_finest_identity:
+        keep = (
+            (np.arange(hb_eff) < int(chf)).astype(np.float32)[:, None]
+            * (np.arange(wb_eff) < int(cwf)).astype(np.float32)[None, :]
+        )
+        fl = f0s2[:, :hb_eff, :wb_eff] * keep
+    else:
+        wy_f = box_weights_dyn(hb_eff, h0b, chf, h0f)
+        wx_f = box_weights_dyn(wb_eff, w0b, cwf, w0f)
+        fl = jnp.matmul(wy_f, jnp.matmul(f0s2, wx_f.T, precision=_prec),
+                        precision=_prec)
+    wy_u = box_weights_dyn(hb_eff, prev_hb, chf, prev_chf)
+    wx_u = box_weights_dyn(wb_eff, prev_wb, cwf, prev_cwf)
+    uv = jnp.stack([u_t, v_t])
+    uv = jnp.matmul(wy_u, jnp.matmul(uv, wx_u.T, precision=_prec),
+                    precision=_prec)
+    return jnp.concatenate([fl, uv], axis=0)
+
+
 def bucketed_level_step_trim(
     f0s2,                # (2, H0b, W0b) stacked smoothed frames
     u_t, v_t,            # previous level's flow at ITS trimmed bucket
@@ -808,59 +844,43 @@ def bucketed_level_step_trim(
     """
     from tpuflow.ops.pallas.level_fused import level_fused_whole
 
-    (cw, ch, inv_hx, inv_hy, _d2x, _d2y, _d4x, _d4y, _ax, _ay, wlim, hlim,
-     cwf, chf, w0f, h0f, prev_cwf, prev_chf) = scalars[:18]
-    hb_eff, wb_eff = eff
-    h0b, w0b = top_bucket
-    prev_hb, prev_wb = u_t.shape
-    import jax.lax as lax
+    (cw, ch, inv_hx, inv_hy) = scalars[:4]
+    wlim, hlim = scalars[10], scalars[11]
+    res = _resample_trim(f0s2, u_t, v_t, scalars, eff, top_bucket,
+                         is_finest_identity)
 
-    _prec = lax.Precision.HIGHEST
-
-    # Frames, ALWAYS from full-res smoothed (reference:
-    # optical_flow_2d.cpp:283-304) — both frames share one weight pair,
-    # so they resample as ONE batched matmul chain.
-    if is_finest_identity:
-        keep = (
-            (np.arange(hb_eff) < int(chf)).astype(np.float32)[:, None]
-            * (np.arange(wb_eff) < int(cwf)).astype(np.float32)[None, :]
-        )
-        fl = f0s2[:, :hb_eff, :wb_eff] * keep
-    else:
-        wy_f = box_weights_dyn(hb_eff, h0b, chf, h0f)
-        wx_f = box_weights_dyn(wb_eff, w0b, cwf, w0f)
-        fl = jnp.matmul(wy_f, jnp.matmul(f0s2, wx_f.T, precision=_prec),
-                        precision=_prec)
-    # Flow prolongation from the previous level's trimmed carry.
-    wy_u = box_weights_dyn(hb_eff, prev_hb, chf, prev_chf)
-    wx_u = box_weights_dyn(wb_eff, prev_wb, cwf, prev_cwf)
-    uv = jnp.stack([u_t, v_t])
-    uv = jnp.matmul(wy_u, jnp.matmul(uv, wx_u.T, precision=_prec),
-                    precision=_prec)
-    res = jnp.concatenate([fl, uv], axis=0)  # (4, hb_eff, wb_eff)
-
-    pred = warp_small_pred(uv[0], uv[1], inv_hx, inv_hy, wlim, hlim)
+    pred = warp_small_pred(res[2], res[3], inv_hx, inv_hy, wlim, hlim)
 
     def fast(res):
         return level_fused_whole(res, scalars, cfg, interpret=interpret)
 
     def slow(res):
-        f0_l = maintain_mirror1(res[0], cw, ch)
-        f1_l = maintain_mirror1(res[1], cw, ch)
-        u = maintain_mirror2(res[2], cw, ch)
-        v = maintain_mirror2(res[3], cw, ch)
-        f1_w = maintain_mirror1(
-            warp_gather(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim),
-            cw, ch,
-        )
-        du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg, use_pallas=False)
-        uu, vv = u + du, v + dv
-        ghost_r = max(2, (cfg.median_radius - 1) // 2)
-        uu = maintain_mirror(uu, cw, ch, ghost_r)
-        vv = maintain_mirror(vv, cw, ch, ghost_r)
-        return median(uu, cfg.median_radius), median(vv, cfg.median_radius)
+        return _level_slow_tail(res, scalars, cfg)
 
     return jax.lax.cond(pred, fast, slow, res)
+
+
+def _level_slow_tail(res, scalars, cfg: FlowConfig):
+    """XLA level tail on the (4, hb, wb) resampled stack: gather warp +
+    scan relaxation + median. The compile-cheap exact branch for levels
+    whose displacements exceed the warp fast window (equivalent to those
+    levels taking warp_dyn's gather path)."""
+    (cw, ch, inv_hx, inv_hy) = scalars[:4]
+    wlim, hlim = scalars[10], scalars[11]
+    f0_l = maintain_mirror1(res[0], cw, ch)
+    f1_l = maintain_mirror1(res[1], cw, ch)
+    u = maintain_mirror2(res[2], cw, ch)
+    v = maintain_mirror2(res[3], cw, ch)
+    f1_w = maintain_mirror1(
+        warp_gather(f0_l, f1_l, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim),
+        cw, ch,
+    )
+    du, dv = _relax_dyn(f0_l, f1_w, u, v, scalars, cfg, use_pallas=False)
+    uu, vv = u + du, v + dv
+    ghost_r = max(2, (cfg.median_radius - 1) // 2)
+    uu = maintain_mirror(uu, cw, ch, ghost_r)
+    vv = maintain_mirror(vv, cw, ch, ghost_r)
+    return median(uu, cfg.median_radius), median(vv, cfg.median_radius)
 
 
 @functools.lru_cache(maxsize=256)
@@ -963,6 +983,7 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
             f0s2 = jnp.stack([f0s, f1s])
             u_t = jnp.zeros((8, 128), jnp.float32)
             v_t = jnp.zeros_like(u_t)
+
             for bucket, stacked in groups:
                 for i in range(stacked[0].shape[0]):
                     sc = tuple(col[i] for col in stacked)
