@@ -103,12 +103,13 @@ def main():
     # once (per-pair host materialization would add a ~50+ ms network round
     # trip per pair on tunneled dispatch paths, which is not a property of
     # the solver).
-    # K=32 chained pairs per fence: the axon tunnel's fence+submit costs a
-    # measured ~64 ms per fence regardless of K (a network artifact, not a
-    # chip property — true per-pair device time is the K->inf slope);
-    # chaining amortizes it to ~2 ms/pair.
+    # K=96 chained pairs per fence: the axon tunnel's fence+submit costs a
+    # measured ~25-90 ms per fence regardless of K (a network artifact,
+    # not a chip property — true per-pair device time is the K->inf
+    # slope); chaining amortizes it to well under 1 ms/pair. (At the old
+    # K=32 the fence inflated the report by ~1-2 ms/pair.)
     runs = int(os.environ.get("TPUFLOW_BENCH_RUNS", "6"))
-    k = int(os.environ.get("TPUFLOW_BENCH_PAIRS", "32"))
+    k = int(os.environ.get("TPUFLOW_BENCH_PAIRS", "96"))
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
