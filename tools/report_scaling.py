@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Scaling report: Mpix/s at 1 chip vs N chips (dp and sp), one JSON line.
+
+The BASELINE.md target is >=80% linear Mpix/s scaling 1 chip -> N. No
+multi-chip hardware exists in the build environment (everything
+distributed is validated on the 8-virtual-device CPU mesh), so this tool
+is the READY-TO-RUN harness for when it does: point it at a real slice
+and it prints the table the target asks for.
+
+  dp  — throughput scaling: a batch of B = N independent frame pairs,
+        one per chip ('data' axis), vs N sequential single-chip solves.
+  sp  — latency scaling: ONE pair with image rows sharded over 'y'
+        (explicit ring-halo relaxation), vs the single-chip solve.
+
+Usage:  python tools/report_scaling.py [N]
+        (defaults to all visible devices; runs on CPU with
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 for a smoke
+        test, but CPU numbers are not meaningful for the target)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuflow_jit_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tpuflow.config import FlowConfig  # noqa: E402
+from tpuflow.io import read_raw_u8  # noqa: E402
+
+
+def fence(x):
+    return np.asarray(x)
+
+
+def time_best(fn, reps=4, k=8):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn()
+        fence(out[0])
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else len(jax.devices())
+    devices = jax.devices()[:n]
+    platform = devices[0].platform
+
+    from tpuflow.parallel import make_mesh
+    from tpuflow.solver.bucketed import (
+        compute_flow_bucketed_async,
+        compute_flow_bucketed_batch,
+        compute_flow_bucketed_sharded,
+    )
+
+    f0 = read_raw_u8(os.path.join("/root/reference/data", "rub1.raw"), 584, 388)
+    f1 = read_raw_u8(os.path.join("/root/reference/data", "rub2.raw"), 584, 388)
+    h, w = f0.shape
+    mpix = h * w / 1e6
+    cfg = FlowConfig()
+
+    # 1 chip, single stream.
+    fa = jnp.asarray(f0)
+    fb = jnp.asarray(f1)
+    fence(compute_flow_bucketed_async(fa, fb, cfg)[0])  # warm
+    t1 = time_best(lambda: compute_flow_bucketed_async(fa, fb, cfg))
+    chip1 = mpix / t1
+
+    report = {
+        "platform": platform,
+        "n_devices": n,
+        "mpix_s_1chip": round(chip1, 3),
+    }
+
+    if n > 1:
+        # dp: one pair per chip.
+        mesh = make_mesh((n, 1), devices=devices)
+        F0 = jnp.broadcast_to(fa, (n, h, w))
+        F1 = jnp.broadcast_to(fb, (n, h, w))
+        fence(compute_flow_bucketed_batch(F0, F1, cfg, mesh=mesh)[0])
+        td = time_best(
+            lambda: compute_flow_bucketed_batch(F0, F1, cfg, mesh=mesh), k=4
+        )
+        report["mpix_s_dp"] = round(n * mpix / td, 3)
+        report["dp_efficiency"] = round(n * mpix / td / (n * chip1), 3)
+
+        # sp: rows of one pair over 'y' (explicit ring halo).
+        mesh_y = make_mesh((1, n), devices=devices)
+        fence(compute_flow_bucketed_sharded(
+            fa, fb, cfg, mesh=mesh_y, halo="explicit")[0])
+        ts = time_best(
+            lambda: compute_flow_bucketed_sharded(
+                fa, fb, cfg, mesh=mesh_y, halo="explicit"), k=4
+        )
+        report["mpix_s_sp"] = round(mpix / ts, 3)
+        report["sp_speedup"] = round(t1 / ts, 3)
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
