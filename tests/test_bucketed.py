@@ -203,3 +203,55 @@ def test_warp_dyn_paths_match_oracle(scale, path):
     )
     want = oracle.warp(f0[:ch, :cw], f1[:ch, :cw], u[:ch, :cw], v[:ch, :cw], 1.0, 1.0)
     np.testing.assert_allclose(got[:ch, :cw], want, atol=2e-4, err_msg=path)
+
+
+def test_level_step_blocked_resample_matches_dense(monkeypatch):
+    # Force the block-banded route at a small size and pin it against the
+    # dense-matmul route on the same level step (one sweep keeps ulp
+    # amplification down; both routes apply the same linear map).
+    import sys
+
+    import jax.numpy as jnp
+
+    import tpuflow.ops.resample  # noqa: F401 - ops/__init__ shadows the attr
+    from tpuflow.solver.bucketed import (
+        LevelScalars, bucket_dims, bucketed_level_step,
+    )
+
+    rs = sys.modules["tpuflow.ops.resample"]
+
+    h0, w0 = 90, 130
+    top_bucket = bucket_dims(w0, h0)
+    h0b, w0b = top_bucket
+    cw, ch = 84, 58
+    bucket = bucket_dims(cw, ch)
+    sc = LevelScalars.make(
+        cw, ch, w0 / cw, h0 / ch, 35.0, w0, h0, 60, 40
+    ).tree()
+    cfg = FlowConfig(
+        warp_levels_count=1, outer_iterations_count=1,
+        inner_iterations_count=1, median_radius=3,
+    )
+    rng = np.random.default_rng(5)
+    f0s = np.zeros((h0b, w0b), np.float32)
+    f1s = np.zeros((h0b, w0b), np.float32)
+    f0s[:h0, :w0] = rng.random((h0, w0), np.float32) * 200.0
+    f1s[:h0, :w0] = rng.random((h0, w0), np.float32) * 200.0
+    u_prev = np.zeros((h0b, w0b), np.float32)
+    v_prev = np.zeros((h0b, w0b), np.float32)
+    u_prev[:40, :60] = rng.standard_normal((40, 60)).astype(np.float32) * 0.3
+    v_prev[:40, :60] = rng.standard_normal((40, 60)).astype(np.float32) * 0.3
+    args = tuple(jnp.asarray(a) for a in (f0s, f1s, u_prev, v_prev))
+
+    want_u, want_v = bucketed_level_step(
+        *args, sc, bucket, top_bucket, cfg, use_pallas=False
+    )
+    monkeypatch.setattr(rs, "BLOCK_BANDED_MIN_K", 64)
+    got_u, got_v = bucketed_level_step(
+        *args, sc, bucket, top_bucket, cfg, use_pallas=False
+    )
+    d = np.maximum(
+        np.abs(np.asarray(got_u)[:ch, :cw] - np.asarray(want_u)[:ch, :cw]),
+        np.abs(np.asarray(got_v)[:ch, :cw] - np.asarray(want_v)[:ch, :cw]),
+    )
+    assert d.max() < 1e-5, d.max()

@@ -120,6 +120,57 @@ def test_resample_banded_matches_dense(out_bucket, out_hw, in_bucket, in_hw):
     np.testing.assert_allclose(np.asarray(band), np.asarray(dense), atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "out_bucket,out_hw,in_bucket,in_hw",
+    [
+        ((1088, 2048), (975, 1730), (1088, 2048), (1080, 1920)),  # 1080p L1
+        ((576, 1024), (540, 960), (1088, 2048), (1080, 1920)),    # 2x shrink
+        ((1088, 2048), (1080, 1920), (576, 1024), (540, 960)),    # upsample
+        ((64, 128), (30, 54), (1088, 2048), (1080, 1920)),        # deep
+    ],
+)
+def test_resample_blocked_matches_dense(out_bucket, out_hw, in_bucket, in_hw):
+    # The block-banded form (production for 1080p-class contractions) is
+    # the same linear map as the dense bucketed matmuls — every excluded
+    # entry is an exact zero; only fp summation trees may differ.
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpuflow.ops.resample import (
+        box_weights_dyn,
+        resample_cols_blocked,
+        resample_rows_blocked,
+    )
+
+    rng = np.random.default_rng(1)
+    x = np.zeros(in_bucket, np.float32)
+    gh = min(in_bucket[0], in_hw[0] + 2)
+    gw = min(in_bucket[1], in_hw[1] + 2)
+    x[:gh, :gw] = rng.standard_normal((gh, gw)).astype(np.float32) * 50.0
+    x = jnp.asarray(x)
+    wy = box_weights_dyn(out_bucket[0], in_bucket[0], float(out_hw[0]),
+                         float(in_hw[0]))
+    wx = box_weights_dyn(out_bucket[1], in_bucket[1], float(out_hw[1]),
+                         float(in_hw[1]))
+    dense = jnp.matmul(
+        wy, jnp.matmul(x, wx.T, precision=lax.Precision.HIGHEST),
+        precision=lax.Precision.HIGHEST,
+    )
+    t = resample_cols_blocked(x, out_bucket[1], out_hw[1], in_hw[1])
+    blocked = resample_rows_blocked(t, out_bucket[0], out_hw[0], in_hw[0])
+    assert blocked.shape == out_bucket
+    np.testing.assert_allclose(
+        np.asarray(blocked), np.asarray(dense), atol=2e-4,
+        err_msg="block-banded vs dense",
+    )
+    # Batched form (frames stacked) matches too.
+    xb = jnp.stack([x, 2.0 * x])
+    tb = resample_cols_blocked(xb, out_bucket[1], out_hw[1], in_hw[1])
+    bb = resample_rows_blocked(tb, out_bucket[0], out_hw[0], in_hw[0])
+    np.testing.assert_allclose(np.asarray(bb[0]), np.asarray(blocked),
+                               atol=1e-6)
+
+
 # ---------------------------------------------------------------- warp
 
 

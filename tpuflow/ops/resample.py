@@ -192,6 +192,82 @@ def resample_banded(
     return out
 
 
+# Contraction dims below this stay dense: the blocked form trades one big
+# matmul for ~out/blk small ones, which only pays once the dense band
+# waste dominates the extra op launches (1080p-class resamples; the rub
+# top bucket's 448/640-dim matmuls are already only ~15-25 us/level).
+BLOCK_BANDED_MIN_K = 1024
+
+
+@functools.lru_cache(maxsize=4096)
+def _block_plan(out_bucket: int, in_bucket: int, out_n: int, in_n: int,
+                blk: int, align: int):
+    """Static block decomposition of the box-overlap matrix.
+
+    The (out, in) box matrix is banded with ~ceil(in/out)+1 nonzeros per
+    row, so each ``blk``-row output block only reads a narrow input
+    window. Returns a tuple of (o_lo, o_hi, i_lo, i_hi, W_block) with
+    ``W_block`` the dense weight slice (None for all-zero blocks, i.e.
+    the bucket ghost rows) and the input window aligned to ``align``.
+    The union of blocks applies the SAME linear map as the dense bucketed
+    matrix: every excluded entry is an exact zero.
+    """
+    W = resample_weights(in_n, out_n)  # (out_n, in_n) exact fractions
+    Wb = np.zeros((out_bucket, in_bucket), F)
+    Wb[:out_n, :in_n] = W
+    blocks = []
+    for o_lo in range(0, out_bucket, blk):
+        o_hi = min(out_bucket, o_lo + blk)
+        sub = Wb[o_lo:o_hi]
+        nz = np.nonzero(sub.any(axis=0))[0]
+        if len(nz) == 0:
+            blocks.append((o_lo, o_hi, 0, 0, None))
+            continue
+        i_lo = int(nz[0]) // align * align
+        i_hi = min(in_bucket, -(-(int(nz[-1]) + 1) // align) * align)
+        blocks.append((o_lo, o_hi, i_lo, i_hi,
+                       np.ascontiguousarray(sub[:, i_lo:i_hi])))
+    return tuple(blocks)
+
+
+def resample_rows_blocked(x: jax.Array, out_bucket: int, out_n: int,
+                          in_n: int) -> jax.Array:
+    """``W_y @ x`` with the banded box matrix applied block-wise
+    (..., in_bucket, W) -> (..., out_bucket, W). Static sizes only."""
+    in_bucket = x.shape[-2]
+    parts = []
+    for o_lo, o_hi, i_lo, i_hi, w in _block_plan(
+        out_bucket, in_bucket, out_n, in_n, 64, 8
+    ):
+        if w is None:
+            parts.append(jnp.zeros(
+                x.shape[:-2] + (o_hi - o_lo, x.shape[-1]), jnp.float32))
+        else:
+            parts.append(jnp.matmul(
+                jnp.asarray(w), x[..., i_lo:i_hi, :],
+                precision=lax.Precision.HIGHEST))
+    return jnp.concatenate(parts, axis=-2)
+
+
+def resample_cols_blocked(x: jax.Array, out_bucket: int, out_n: int,
+                          in_n: int) -> jax.Array:
+    """``x @ W_x^T`` with the banded box matrix applied block-wise
+    (..., H, in_bucket) -> (..., H, out_bucket). Static sizes only."""
+    in_bucket = x.shape[-1]
+    parts = []
+    for o_lo, o_hi, i_lo, i_hi, w in _block_plan(
+        out_bucket, in_bucket, out_n, in_n, 128, 128
+    ):
+        if w is None:
+            parts.append(jnp.zeros(
+                x.shape[:-1] + (o_hi - o_lo,), jnp.float32))
+        else:
+            parts.append(jnp.matmul(
+                x[..., i_lo:i_hi], jnp.asarray(w).T,
+                precision=lax.Precision.HIGHEST))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def resample(img: jax.Array, out_w: int, out_h: int) -> jax.Array:
     """Resample an (H, W) image to (out_h, out_w) via two MXU matmuls."""
     in_h, in_w = img.shape

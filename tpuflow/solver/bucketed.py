@@ -538,6 +538,33 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig, use_pallas=None):
     return du, dv
 
 
+def _resample_top(x, out_bucket_hw, out_hw_f, in_hw_f, _prec):
+    """(..., H0b, W0b) -> (..., hb, wb) box resample, choosing the
+    block-banded form per axis when that axis's contraction dim is large
+    (the box matrix carries ~ceil(in/out)+1 nonzeros per row, so dense
+    1080p-class matmuls burn >99% of their MXU passes on zeros). Static
+    valid sizes required for the blocked form; X then Y (reference
+    sequencing, cuda_operation_resample_2d.cpp:99-106). Values match the
+    dense bucketed matmuls (excluded entries are exact zeros)."""
+    from tpuflow.ops.resample import (
+        BLOCK_BANDED_MIN_K, resample_cols_blocked, resample_rows_blocked,
+    )
+
+    hb, wb = out_bucket_hw
+    h0b, w0b = x.shape[-2:]
+    chf, cwf = out_hw_f
+    ihf, iwf = in_hw_f
+    if w0b >= BLOCK_BANDED_MIN_K:
+        t = resample_cols_blocked(x, wb, int(cwf), int(iwf))
+    else:
+        t = jnp.matmul(x, box_weights_dyn(wb, w0b, cwf, iwf).T,
+                       precision=_prec)
+    if h0b >= BLOCK_BANDED_MIN_K:
+        return resample_rows_blocked(t, hb, int(chf), int(ihf))
+    return jnp.matmul(box_weights_dyn(hb, h0b, chf, ihf), t,
+                      precision=_prec)
+
+
 def bucketed_level_step(
     f0s, f1s,            # (H0b, W0b) bucket-padded full-res smoothed frames
     u_prev, v_prev,      # (H0b, W0b) flow carried at the top bucket
@@ -592,7 +619,15 @@ def bucketed_level_step(
         and all(isinstance(s, _scal)
                 for s in (chf, cwf, h0f, w0f, prev_chf, prev_cwf))
     )
-    if not banded:
+    from tpuflow.ops.resample import BLOCK_BANDED_MIN_K
+
+    blocked = (
+        not banded
+        and all(isinstance(s, _scal)
+                for s in (chf, cwf, h0f, w0f, prev_chf, prev_cwf))
+        and max(h0b, w0b) >= BLOCK_BANDED_MIN_K
+    )
+    if not banded and not blocked:
         # Box-resample weights computed on device (exact reference
         # fractions, tpuflow.ops.resample.box_weights_dyn) — no per-level
         # uploads.
@@ -630,12 +665,28 @@ def bucketed_level_step(
         )
         f0_l = f0s * keep
         f1_l = f1s * keep
-        wy_u = box_weights_dyn(hb, h0b, chf, prev_chf)
-        wx_u = box_weights_dyn(wb, w0b, cwf, prev_cwf)
-        u = jnp.matmul(wy_u, jnp.matmul(u_prev, wx_u.T, precision=_prec),
-                       precision=_prec)
-        v = jnp.matmul(wy_u, jnp.matmul(v_prev, wx_u.T, precision=_prec),
-                       precision=_prec)
+        if (
+            all(isinstance(s, _scal) for s in (prev_chf, prev_cwf))
+            and max(h0b, w0b) >= BLOCK_BANDED_MIN_K
+        ):
+            uv = _resample_top(jnp.stack([u_prev, v_prev]), bucket,
+                               (chf, cwf), (prev_chf, prev_cwf), _prec)
+            u, v = uv[0], uv[1]
+        else:
+            wy_u = box_weights_dyn(hb, h0b, chf, prev_chf)
+            wx_u = box_weights_dyn(wb, w0b, cwf, prev_cwf)
+            u = jnp.matmul(wy_u, jnp.matmul(u_prev, wx_u.T, precision=_prec),
+                           precision=_prec)
+            v = jnp.matmul(wy_u, jnp.matmul(v_prev, wx_u.T, precision=_prec),
+                           precision=_prec)
+    elif blocked:
+        # 1080p-class levels: block-banded resamples (static sizes).
+        fl = _resample_top(jnp.stack([f0s, f1s]), bucket,
+                           (chf, cwf), (h0f, w0f), _prec)
+        f0_l, f1_l = fl[0], fl[1]
+        uv = _resample_top(jnp.stack([u_prev, v_prev]), bucket,
+                           (chf, cwf), (prev_chf, prev_cwf), _prec)
+        u, v = uv[0], uv[1]
     else:
         f0_l = jnp.matmul(wy_f, jnp.matmul(f0s, wx_f.T, precision=_prec),
                           precision=_prec)
@@ -804,10 +855,24 @@ def _resample_trim(f0s2, u_t, v_t, scalars, eff, top_bucket,
         )
         fl = f0s2[:, :hb_eff, :wb_eff] * keep
     else:
-        wy_f = box_weights_dyn(hb_eff, h0b, chf, h0f)
-        wx_f = box_weights_dyn(wb_eff, w0b, cwf, w0f)
-        fl = jnp.matmul(wy_f, jnp.matmul(f0s2, wx_f.T, precision=_prec),
-                        precision=_prec)
+        # Block-banded form for big contractions (1080p-class frames):
+        # the box matrix has ~3 nonzeros/row, so the dense matmul wastes
+        # >99% of its MXU passes there. X first, then Y (reference
+        # sequencing, cuda_operation_resample_2d.cpp:99-106).
+        from tpuflow.ops.resample import (
+            BLOCK_BANDED_MIN_K, resample_cols_blocked, resample_rows_blocked,
+        )
+
+        if w0b >= BLOCK_BANDED_MIN_K:
+            t = resample_cols_blocked(f0s2, wb_eff, int(cwf), int(w0f))
+        else:
+            wx_f = box_weights_dyn(wb_eff, w0b, cwf, w0f)
+            t = jnp.matmul(f0s2, wx_f.T, precision=_prec)
+        if h0b >= BLOCK_BANDED_MIN_K:
+            fl = resample_rows_blocked(t, hb_eff, int(chf), int(h0f))
+        else:
+            wy_f = box_weights_dyn(hb_eff, h0b, chf, h0f)
+            fl = jnp.matmul(wy_f, t, precision=_prec)
     wy_u = box_weights_dyn(hb_eff, prev_hb, chf, prev_chf)
     wx_u = box_weights_dyn(wb_eff, prev_wb, cwf, prev_cwf)
     uv = jnp.stack([u_t, v_t])
