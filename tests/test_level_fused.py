@@ -280,3 +280,23 @@ def test_whole_level_finest_identity_matches_classic():
     ).mean()
     assert epe < 1e-3, epe
 
+
+
+def test_inner_zero_stays_on_xla_everywhere():
+    # inner_iterations_count=0 is legal (zero Jacobi sweeps in the
+    # reference); the Pallas kernels' unrolled structure always executes
+    # sweep 0, so every gate must refuse and keep all platforms on the
+    # XLA scan path (which runs zero sweeps).
+    from tpuflow.ops.pallas.level_fused import (
+        level_fused_supported, level_fused_whole_supported,
+    )
+    from tpuflow.ops.pallas.relax_bucket import relax_bucket_supported
+
+    cfg0 = FlowConfig(inner_iterations_count=0)
+    cfg1 = FlowConfig(inner_iterations_count=1)
+    assert not level_fused_supported(64, 128, cfg0)
+    assert not level_fused_whole_supported(64, 128, cfg0)
+    assert not relax_bucket_supported(64, 128, cfg0)
+    assert level_fused_supported(64, 128, cfg1)
+    assert level_fused_whole_supported(64, 128, cfg1)
+    assert relax_bucket_supported(64, 128, cfg1)

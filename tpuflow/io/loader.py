@@ -68,9 +68,20 @@ class FrameLoader:
                 self._native = False
 
     def next(self) -> np.ndarray:
-        """The next frame in file order (blocks until prefetched)."""
+        """The next frame in file order (blocks until prefetched).
+
+        Raises IndexError when the file list is exhausted (NOT
+        StopIteration: from a plain method that would silently terminate
+        an enclosing generator instead of surfacing the bug).
+
+        Thread contract: ``next`` and ``close`` must be called from one
+        thread (the native layer frees the loader on close; a close
+        racing a blocked next would use freed state). process_sequence
+        honours this — only its writer thread is separate, and it never
+        touches the loader.
+        """
         if self._idx >= len(self._paths):
-            raise StopIteration
+            raise IndexError("FrameLoader exhausted: no more frames")
         path = self._paths[self._idx]
         self._idx += 1
         if self._native:

@@ -101,14 +101,22 @@ def _n_fields(cfg: FlowConfig, whole: bool) -> int:
 
 
 def level_fused_supported(hb: int, wb: int, cfg: FlowConfig) -> bool:
-    """VMEM gate for the fused level TAIL at a (possibly trimmed) bucket."""
+    """Gate for the fused level TAIL at a (possibly trimmed) bucket:
+    alignment + VMEM + inner >= 1 (the unrolled sweep structure always
+    executes sweep 0; a legal inner=0 config must stay on XLA so all
+    platforms compute the reference's zero sweeps)."""
+    if cfg.inner_iterations_count < 1:
+        return False
     if hb % 8 != 0 or wb % 128 != 0:
         return False
     return _n_fields(cfg, whole=False) * hb * wb * 4 <= VMEM_BUDGET_BYTES
 
 
 def level_fused_whole_supported(hb: int, wb: int, cfg: FlowConfig) -> bool:
-    """VMEM gate for the WHOLE-level kernel at a trimmed bucket."""
+    """Gate for the WHOLE-level kernel at a trimmed bucket (alignment +
+    VMEM + inner >= 1, see level_fused_supported)."""
+    if cfg.inner_iterations_count < 1:
+        return False
     if hb % 8 != 0 or wb % 128 != 0:
         return False
     return _n_fields(cfg, whole=True) * hb * wb * 4 <= VMEM_BUDGET_BYTES

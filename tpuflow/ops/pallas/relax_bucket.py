@@ -85,8 +85,14 @@ def n_const_fields(cfg: FlowConfig) -> int:
 
 
 def relax_bucket_supported(hb: int, wb: int, cfg: FlowConfig) -> bool:
-    """All three data constancies are supported; the only gates are bucket
-    alignment and the VMEM working set."""
+    """All three data constancies are supported; the gates are bucket
+    alignment, the VMEM working set, and inner_iterations_count >= 1
+    (the kernels' unrolled sweep structure always executes sweep 0, so a
+    legal inner=0 config — zero sweeps in the reference and on the XLA
+    scan path — must stay on XLA everywhere for platform-identical
+    numerics)."""
+    if cfg.inner_iterations_count < 1:
+        return False
     if hb % CHUNK != 0 or wb % 128 != 0:
         return False
     need = (

@@ -996,7 +996,22 @@ def _compiled_smooth_pad(sigma: float, orig_shape: Tuple[int, int],
     return run
 
 
-@functools.lru_cache(maxsize=64)
+# Env flags the traced pipeline bakes in; included in the cache key so
+# flipping one after a first call cannot silently return the stale
+# program (the profiling tools used to need manual cache_clear()).
+_TRACE_ENV_FLAGS = (
+    "TPUFLOW_ABLATE", "TPUFLOW_MM_PRECISION", "TPUFLOW_BANDED_RESAMPLE",
+    "TPUFLOW_BANDED_COLS", "TPUFLOW_FUSED_LEVEL", "TPUFLOW_WHOLE_LEVEL",
+    "TPUFLOW_DISABLE_PALLAS", "TPUFLOW_SMOOTH",
+)
+
+
+def _trace_env_fingerprint() -> tuple:
+    import os
+
+    return tuple(os.environ.get(k, "") for k in _TRACE_ENV_FLAGS)
+
+
 def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
                            unroll: bool = None):
     """The ENTIRE solve — presmooth + every bucket group — as ONE XLA
@@ -1005,7 +1020,8 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
     On remote-compile backends each compile request costs ~60 s of fixed
     overhead with little server-side parallelism, so one program cold-starts
     several times faster than ~10 group programs. Per-level scalars are
-    baked in as constants (the cache key is the workload shape + config).
+    baked in as constants (the cache key is the workload shape + config +
+    the TPUFLOW_* trace-time env flags).
 
     unroll: unroll the per-group level scans into straight-line code —
     the per-level scalars become XLA literals, so the on-device resample
@@ -1020,6 +1036,19 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
 
     if unroll is None:
         unroll = os.environ.get("TPUFLOW_UNROLL", "1") != "0"
+    return _compiled_full_pipeline(orig_shape, cfg, unroll,
+                                   _trace_env_fingerprint())
+
+
+# Kept for the profiling tools that call .cache_clear() between builds.
+compiled_full_pipeline.cache_clear = lambda: _compiled_full_pipeline.cache_clear()  # noqa: E731,E501
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
+                            unroll: bool, _env: tuple):
+    import os
+
     h0, w0 = orig_shape
     specs = level_schedule(w0, h0, cfg.warp_levels_count, cfg.warp_scale_factor)
     top_bucket = bucket_dims(specs[-1].width, specs[-1].height)
