@@ -255,3 +255,20 @@ def test_level_step_blocked_resample_matches_dense(monkeypatch):
         np.abs(np.asarray(got_v)[:ch, :cw] - np.asarray(want_v)[:ch, :cw]),
     )
     assert d.max() < 1e-5, d.max()
+
+
+def test_pipeline_cache_keys_on_trace_env(monkeypatch):
+    # Flipping a TPUFLOW_* trace-time flag must produce a different cached
+    # program (the old behavior silently returned the stale one).
+    from tpuflow.solver.bucketed import compiled_full_pipeline
+
+    cfg = FlowConfig(warp_levels_count=2, warp_scale_factor=0.6,
+                     outer_iterations_count=1, inner_iterations_count=1,
+                     median_radius=3)
+    a = compiled_full_pipeline((16, 24), cfg, unroll=False)
+    monkeypatch.setenv("TPUFLOW_MM_PRECISION", "default")
+    b = compiled_full_pipeline((16, 24), cfg, unroll=False)
+    monkeypatch.delenv("TPUFLOW_MM_PRECISION")
+    c = compiled_full_pipeline((16, 24), cfg, unroll=False)
+    assert a is not b
+    assert a is c
