@@ -72,7 +72,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuflow.config import DataConstancy, FlowConfig
-from tpuflow.ops.median import _batcher_pairs
+from tpuflow.ops.median import _network_median
 from tpuflow.ops.pallas.relax_bucket import VMEM_BUDGET_BYTES, VMEM_LIMIT_BYTES
 
 F = np.float32
@@ -125,6 +125,14 @@ def level_fused_whole_supported(hb: int, wb: int, cfg: FlowConfig) -> bool:
 def _consts(sc, cfg: FlowConfig, hb: int, wb: int) -> SimpleNamespace:
     """Static per-level constants (LevelScalars tree -> Python floats)."""
     radius = cfg.median_radius - (cfg.median_radius % 2 == 0)
+    need = max(2, _ghost_r(cfg))
+    # Ghost room: the mirror maintenance writes rows [ch, ch+need) and
+    # cols [cw, cw+need); without this room the `ys == ch` selects never
+    # fire and the kernel silently computes wrong boundary values.
+    assert int(sc[1]) + need <= hb and int(sc[0]) + need <= wb, (
+        f"bucket ({hb},{wb}) lacks ghost room for valid "
+        f"({int(sc[1])},{int(sc[0])}) + {need}"
+    )
     return SimpleNamespace(
         hb=hb, wb=wb,
         cw=int(sc[0]), ch=int(sc[1]),
@@ -147,13 +155,12 @@ def _consts(sc, cfg: FlowConfig, hb: int, wb: int) -> SimpleNamespace:
     )
 
 
-def _roll_s(t, k, axis, hb, wb):
+def _roll_s(t, k, axis):
     """pltpu.roll with a signed shift (roll by -k == size - k)."""
-    size = wb if axis else hb
-    return pltpu.roll(t, k % size, axis)
+    return pltpu.roll(t, k % t.shape[axis], axis)
 
 
-def _mirror_gr(t, ys, xs, ch, cw, gr, hb, wb):
+def _mirror_gr(t, ys, xs, ch, cw, gr):
     """Value-level mirror ghost maintenance of radius gr (row ch+k :=
     row ch-2-k, then the same for columns — matching the XLA
     maintain_mirror's row-then-column order so the ghost corner is the
@@ -219,11 +226,11 @@ def _warp_shift_sum(c, f0m, f1m, um, vm, ys, xs):
     }
     out = zeros
     for e in range(-D, D + 2):
-        f_row = _roll_s(f1m, -e, 0, c.hb, c.wb)
+        f_row = _roll_s(f1m, -e, 0)
         r_c = zeros
         s_c = zeros
         for d in range(-D, D + 2):
-            f_cd = _roll_s(f_row, -d, 1, c.hb, c.wb)
+            f_cd = _roll_s(f_row, -d, 1)
             r_c = r_c + P[d] * f_cd
             s_c = s_c + Q[d] * f_cd
         out = out + my.get(e, zeros) * r_c + my.get(e - 1, zeros) * s_c
@@ -404,11 +411,10 @@ def _tail_body(c, f0_ref, f1_ref, u_ref, v_ref, uo_ref, vo_ref,
     flips = inner % 2 == 1
 
     def outer_pair(_, carry):
+        # Only reached when flips (odd inner): each pass swaps the buffer
+        # roles, so a PAIR of passes lands the iterate back in uo/vo.
         outer_pass(uo_ref, vo_ref, tub_ref, tvb_ref)
-        if flips:
-            outer_pass(tub_ref, tvb_ref, uo_ref, vo_ref)
-        else:
-            outer_pass(uo_ref, vo_ref, tub_ref, tvb_ref)
+        outer_pass(tub_ref, tvb_ref, uo_ref, vo_ref)
         return carry
 
     if flips:
@@ -437,14 +443,13 @@ def _tail_body(c, f0_ref, f1_ref, u_ref, v_ref, uo_ref, vo_ref,
         if d == 0:
             return t
         if d > 0:
-            return _roll_s(t, -d, axis, hb, wb)
+            return _roll_s(t, -d, axis)
         d = -d
         idx = xs if axis else ys
         out = pltpu.roll(t, d, axis)
         for i in range(d):
             # row/col i reads index d - i = roll by -(d - 2i)
-            out = jnp.where(idx == i, _roll_s(t, -(d - 2 * i), axis, hb, wb),
-                            out)
+            out = jnp.where(idx == i, _roll_s(t, -(d - 2 * i), axis), out)
         return out
 
     def run_median(t):
@@ -458,15 +463,10 @@ def _tail_body(c, f0_ref, f1_ref, u_ref, v_ref, uo_ref, vo_ref,
         ]
         # ops/median.py window order is (iy, ix); ordering is
         # irrelevant to a sorting network's median anyway.
-        vals = windows
-        for a, b in _batcher_pairs(c.radius * c.radius):
-            lo = jnp.minimum(vals[a], vals[b])
-            hi = jnp.maximum(vals[a], vals[b])
-            vals[a], vals[b] = lo, hi
-        return vals[(c.radius * c.radius) // 2]
+        return _network_median(windows, c.radius * c.radius)
 
-    su = _mirror_gr(summed(uo_ref, u_ref), ys, xs, ch, cw, c.gr, hb, wb)
-    sv = _mirror_gr(summed(vo_ref, v_ref), ys, xs, ch, cw, c.gr, hb, wb)
+    su = _mirror_gr(summed(uo_ref, u_ref), ys, xs, ch, cw, c.gr)
+    sv = _mirror_gr(summed(vo_ref, v_ref), ys, xs, ch, cw, c.gr)
     uo_ref[:] = run_median(su)
     vo_ref[:] = run_median(sv)
 
@@ -555,14 +555,14 @@ def level_fused_whole(
 
         # Phase 0: ghost maintenance of the resampled fields
         # (bucketed: maintain_mirror1 frames, maintain_mirror2 flow).
-        f0_ref[:] = _mirror_gr(res_ref[0], ys, xs, c.ch, c.cw, 1, hb, wb)
-        f1m = _mirror_gr(res_ref[1], ys, xs, c.ch, c.cw, 1, hb, wb)
-        u_ref[:] = _mirror_gr(res_ref[2], ys, xs, c.ch, c.cw, 2, hb, wb)
-        v_ref[:] = _mirror_gr(res_ref[3], ys, xs, c.ch, c.cw, 2, hb, wb)
+        f0_ref[:] = _mirror_gr(res_ref[0], ys, xs, c.ch, c.cw, 1)
+        f1m = _mirror_gr(res_ref[1], ys, xs, c.ch, c.cw, 1)
+        u_ref[:] = _mirror_gr(res_ref[2], ys, xs, c.ch, c.cw, 2)
+        v_ref[:] = _mirror_gr(res_ref[3], ys, xs, c.ch, c.cw, 2)
 
         # Phase 0b: backward registration + mirror1 of the warped frame.
         f1w = _warp_shift_sum(c, f0_ref[:], f1m, u_ref[:], v_ref[:], ys, xs)
-        f1_ref[:] = _mirror_gr(f1w, ys, xs, c.ch, c.cw, 1, hb, wb)
+        f1_ref[:] = _mirror_gr(f1w, ys, xs, c.ch, c.cw, 1)
 
         _tail_body(c, f0_ref, f1_ref, u_ref, v_ref, uo_ref, vo_ref,
                    tensor_refs, work_refs, ys, xs)

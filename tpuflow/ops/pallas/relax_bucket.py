@@ -46,6 +46,11 @@ Scalars (valid extent + h-derived float32 constants) arrive in SMEM.
 Numerics match tpuflow.solver.bucketed._relax_dyn term by term (the same
 hoisted formulation, modulo the documented T-iterate reassociation);
 interpret-mode tests pin them together.
+
+MAINTENANCE NOTE: ops/pallas/level_fused.py embeds a copy of the "full"
+variant's relaxation structure (with SMEM scalars replaced by Python
+constants) as its phase B — numerics changes here must be mirrored
+there, and the interpret-mode parity tests of both files re-run.
 """
 
 from __future__ import annotations
@@ -737,11 +742,12 @@ def _relax_bucket_full(
         n_outer = cfg.outer_iterations_count
 
         def outer_pair(_, carry):
+            # Only reached when flips (odd inner): each pass swaps the
+            # buffer roles, so a PAIR of passes lands the iterate back in
+            # du/dv. NOTE: this structure is mirrored in
+            # level_fused._tail_body — change both together.
             outer_pass(du_ref, dv_ref, tub_ref, tvb_ref)
-            if flips:
-                outer_pass(tub_ref, tvb_ref, du_ref, dv_ref)
-            else:
-                outer_pass(du_ref, dv_ref, tub_ref, tvb_ref)
+            outer_pass(tub_ref, tvb_ref, du_ref, dv_ref)
             return carry
 
         if flips:
