@@ -32,16 +32,19 @@ from tpuflow.io import read_raw_u8  # noqa: E402
 
 
 def build(ablate: str, mm_prec: str = "highest", banded: str = "1"):
-    # compiled_full_pipeline caches per (shape, cfg) — bust the cache per
-    # ablation by building fresh (the env vars are read at trace time).
-
+    # Config-differencing requires every variant (INCLUDING the full
+    # baseline) to run the same engine path: any ablation or non-default
+    # matmul precision disables the fused/whole-level Pallas kernels, so
+    # pin them OFF for all variants — the attribution below is for the
+    # XLA component path (the kernels fuse most of these components away
+    # in production; their cost is measured by bench.py A/Bs instead).
     import tpuflow.solver.bucketed as B
 
     os.environ["TPUFLOW_ABLATE"] = ablate
     os.environ["TPUFLOW_MM_PRECISION"] = mm_prec
     os.environ["TPUFLOW_BANDED_RESAMPLE"] = banded
-    B.compiled_full_pipeline.cache_clear()
-    B._WARMED.clear()
+    os.environ["TPUFLOW_WHOLE_LEVEL"] = "0"
+    os.environ["TPUFLOW_FUSED_LEVEL"] = "0"
     return B.compiled_full_pipeline((388, 584), FlowConfig())
 
 

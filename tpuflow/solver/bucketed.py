@@ -228,13 +228,11 @@ def warp_small_pred(u, v, inv_hx, inv_hy, wlim, hlim):
     return (jnp.max(jnp.abs(dxq)) <= D) & (jnp.max(jnp.abs(dyq)) <= D)
 
 
-def warp_gather(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
-    """Exact gather warp (warp_dyn's slow path, without the fast branch) —
-    the fallback for levels whose displacements exceed the fast window."""
-    hb, wb = f0.shape
-    invalid, x0, y0, _, _, w00, w01, w10, w11 = _warp_coords(
-        u, v, inv_hx, inv_hy, wlim, hlim
-    )
+def _gather_taps(f1, x0, y0, w00, w01, w10, w11, cw, ch):
+    """4-tap bilinear gather with the reference's +1-neighbor clamps
+    (registration_2d.cu:56-71) — the ONE implementation both warp_dyn's
+    slow branch and warp_gather use (they must stay bit-identical)."""
+    hb, wb = f1.shape
     x1 = jnp.minimum(cw - 1, x0 + 1)
     y1 = jnp.minimum(ch - 1, y0 + 1)
     flat = f1.reshape(-1)
@@ -242,12 +240,21 @@ def warp_gather(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
     def at(yy, xx):
         return jnp.take(flat, yy * wb + xx, axis=0)
 
-    value = (
+    return (
         w00 * at(y0, x0)
         + w01 * at(y0, x1)
         + w10 * at(y1, x0)
         + w11 * at(y1, x1)
     )
+
+
+def warp_gather(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
+    """Exact gather warp (warp_dyn's slow path, without the fast branch) —
+    the fallback for levels whose displacements exceed the fast window."""
+    invalid, x0, y0, _, _, w00, w01, w10, w11 = _warp_coords(
+        u, v, inv_hx, inv_hy, wlim, hlim
+    )
+    value = _gather_taps(f1, x0, y0, w00, w01, w10, w11, cw, ch)
     return jnp.where(invalid, f0, value)
 
 
@@ -318,19 +325,7 @@ def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
         return out
 
     def slow_path(_):
-        x1 = jnp.minimum(cw - 1, x0 + 1)
-        y1 = jnp.minimum(ch - 1, y0 + 1)
-        flat = f1.reshape(-1)
-
-        def at(yy, xx):
-            return jnp.take(flat, yy * wb + xx, axis=0)
-
-        return (
-            w00 * at(y0, x0)
-            + w01 * at(y0, x1)
-            + w10 * at(y1, x0)
-            + w11 * at(y1, x1)
-        )
+        return _gather_taps(f1, x0, y0, w00, w01, w10, w11, cw, ch)
 
     small = (jnp.max(jnp.abs(dxq)) <= D) & (jnp.max(jnp.abs(dyq)) <= D)
     value = jax.lax.cond(small, fast_path, slow_path, 0)
@@ -627,7 +622,12 @@ def bucketed_level_step(
                 for s in (chf, cwf, h0f, w0f, prev_chf, prev_cwf))
         and max(h0b, w0b) >= BLOCK_BANDED_MIN_K
     )
-    if not banded and not blocked:
+    fin_identity = (
+        all(isinstance(s, _scal) for s in (chf, cwf, h0f, w0f))
+        and (int(chf), int(cwf)) == (int(h0f), int(w0f))
+        and bucket == top_bucket
+    )
+    if not banded and not blocked and not fin_identity:
         # Box-resample weights computed on device (exact reference
         # fractions, tpuflow.ops.resample.box_weights_dyn) — no per-level
         # uploads.
@@ -650,12 +650,7 @@ def bucketed_level_step(
                             (int(prev_chf), int(prev_cwf)))
         v = resample_banded(v_prev, bucket, out_hw,
                             (int(prev_chf), int(prev_cwf)))
-    elif (
-        all(isinstance(s, (int, float, np.integer, np.floating))
-            for s in (chf, cwf, h0f, w0f))
-        and (int(chf), int(cwf)) == (int(h0f), int(w0f))
-        and bucket == top_bucket
-    ):
+    elif fin_identity:
         # Finest level: the frame "resample" is the identity map — the
         # dense path would still burn 4 full-size HIGHEST matmuls whose
         # only effect is zeroing the ghost region. Mask instead (exact).
@@ -728,12 +723,10 @@ def bucketed_level_step(
         and _pallas_relax_wanted(hb, wb, cfg)
     ):
         from tpuflow.ops.pallas.level_fused import (
-            _ghost_r, level_fused, level_fused_supported,
+            level_fused, level_fused_supported,
         )
 
-        need = max(2, _ghost_r(cfg))
-        hb_eff = min(hb, -(-(int(ch) + need) // 8) * 8)
-        wb_eff = min(wb, -(-(int(cw) + need) // 128) * 128)
+        hb_eff, wb_eff = _trim_eff(bucket, scalars, cfg)
         if level_fused_supported(hb_eff, wb_eff, cfg):
             trim = lambda a: a[:hb_eff, :wb_eff]  # noqa: E731
             u_t, v_t = level_fused(
@@ -804,15 +797,9 @@ def _whole_level_eligible(scalars, bucket, cfg: FlowConfig):
         platform = "cpu"
     if platform != "tpu":
         return None
-    from tpuflow.ops.pallas.level_fused import (
-        _ghost_r, level_fused_whole_supported,
-    )
+    from tpuflow.ops.pallas.level_fused import level_fused_whole_supported
 
-    cw, ch = int(scalars[0]), int(scalars[1])
-    hb, wb = bucket
-    need = max(2, _ghost_r(cfg))
-    hb_eff = min(hb, -(-(ch + need) // 8) * 8)
-    wb_eff = min(wb, -(-(cw + need) // 128) * 128)
+    hb_eff, wb_eff = _trim_eff(bucket, scalars, cfg)
     if not level_fused_whole_supported(hb_eff, wb_eff, cfg):
         return None
     return hb_eff, wb_eff
@@ -948,9 +935,42 @@ def _level_slow_tail(res, scalars, cfg: FlowConfig):
     return median(uu, cfg.median_radius), median(vv, cfg.median_radius)
 
 
-@functools.lru_cache(maxsize=256)
+# Env flags the traced programs bake in; appended to every builder's
+# cache key so flipping one after a first call cannot silently return a
+# stale program (the profiling tools used to need manual cache_clear()).
+_TRACE_ENV_FLAGS = (
+    "TPUFLOW_ABLATE", "TPUFLOW_MM_PRECISION", "TPUFLOW_BANDED_RESAMPLE",
+    "TPUFLOW_BANDED_COLS", "TPUFLOW_FUSED_LEVEL", "TPUFLOW_WHOLE_LEVEL",
+    "TPUFLOW_DISABLE_PALLAS", "TPUFLOW_SMOOTH", "TPUFLOW_KERNEL_SHIFT",
+)
+
+
+def _trace_env_fingerprint() -> tuple:
+    import os
+
+    return tuple(os.environ.get(k, "") for k in _TRACE_ENV_FLAGS)
+
+
+def _env_cached(maxsize: int):
+    """``lru_cache`` that appends the TPUFLOW_* trace-env fingerprint to
+    the key (every builder below reads those flags at trace time)."""
+
+    def deco(fn):
+        cached = functools.lru_cache(maxsize=maxsize)(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            return cached(*args, _env=_trace_env_fingerprint(), **kwargs)
+
+        wrapper.cache_clear = cached.cache_clear
+        return wrapper
+
+    return deco
+
+
+@_env_cached(maxsize=256)
 def compiled_bucketed_level(bucket: Tuple[int, int], top_bucket: Tuple[int, int],
-                            cfg: FlowConfig):
+                            cfg: FlowConfig, *, _env=None):
     @jax.jit
     def run(f0s, f1s, u_prev, v_prev, scalars):
         return bucketed_level_step(
@@ -960,9 +980,9 @@ def compiled_bucketed_level(bucket: Tuple[int, int], top_bucket: Tuple[int, int]
     return run
 
 
-@functools.lru_cache(maxsize=256)
+@_env_cached(maxsize=256)
 def compiled_bucketed_group(bucket: Tuple[int, int], top_bucket: Tuple[int, int],
-                            n_levels: int, cfg: FlowConfig):
+                            n_levels: int, cfg: FlowConfig, *, _env=None):
     """All consecutive levels sharing one bucket as ONE dispatch: a
     `lax.scan` over their stacked per-level scalars."""
 
@@ -982,9 +1002,9 @@ def compiled_bucketed_group(bucket: Tuple[int, int], top_bucket: Tuple[int, int]
     return run
 
 
-@functools.lru_cache(maxsize=64)
+@_env_cached(maxsize=64)
 def _compiled_smooth_pad(sigma: float, orig_shape: Tuple[int, int],
-                         top_bucket: Tuple[int, int]):
+                         top_bucket: Tuple[int, int], *, _env=None):
     h0, w0 = orig_shape
     h0b, w0b = top_bucket
 
@@ -994,22 +1014,6 @@ def _compiled_smooth_pad(sigma: float, orig_shape: Tuple[int, int],
         return jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(s)
 
     return run
-
-
-# Env flags the traced pipeline bakes in; included in the cache key so
-# flipping one after a first call cannot silently return the stale
-# program (the profiling tools used to need manual cache_clear()).
-_TRACE_ENV_FLAGS = (
-    "TPUFLOW_ABLATE", "TPUFLOW_MM_PRECISION", "TPUFLOW_BANDED_RESAMPLE",
-    "TPUFLOW_BANDED_COLS", "TPUFLOW_FUSED_LEVEL", "TPUFLOW_WHOLE_LEVEL",
-    "TPUFLOW_DISABLE_PALLAS", "TPUFLOW_SMOOTH",
-)
-
-
-def _trace_env_fingerprint() -> tuple:
-    import os
-
-    return tuple(os.environ.get(k, "") for k in _TRACE_ENV_FLAGS)
 
 
 def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
@@ -1036,17 +1040,16 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
 
     if unroll is None:
         unroll = os.environ.get("TPUFLOW_UNROLL", "1") != "0"
-    return _compiled_full_pipeline(orig_shape, cfg, unroll,
-                                   _trace_env_fingerprint())
+    return _compiled_full_pipeline(orig_shape, cfg, unroll)
 
 
 # Kept for the profiling tools that call .cache_clear() between builds.
 compiled_full_pipeline.cache_clear = lambda: _compiled_full_pipeline.cache_clear()  # noqa: E731,E501
 
 
-@functools.lru_cache(maxsize=64)
+@_env_cached(maxsize=64)
 def _compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
-                            unroll: bool, _env: tuple):
+                            unroll: bool, *, _env=None):
     import os
 
     h0, w0 = orig_shape
@@ -1197,9 +1200,10 @@ def _level_groups(specs, w0: int, h0: int, cfg: FlowConfig):
     ]
 
 
-@functools.lru_cache(maxsize=64)
+@_env_cached(maxsize=64)
 def compiled_full_pipeline_batched(orig_shape: Tuple[int, int], batch: int,
-                                   cfg: FlowConfig, use_pallas: bool = None):
+                                   cfg: FlowConfig, use_pallas: bool = None,
+                                   *, _env=None):
     """vmapped single-dispatch whole-pipeline program for (B, H, W) stacks.
 
     use_pallas: vmap lifts the Pallas relaxation kernel to a grid axis
@@ -1235,10 +1239,10 @@ def compiled_full_pipeline_batched(orig_shape: Tuple[int, int], batch: int,
     return jax.jit(jax.vmap(single))
 
 
-@functools.lru_cache(maxsize=64)
+@_env_cached(maxsize=64)
 def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
                                    y_axis: str, cfg: FlowConfig,
-                                   halo: str = "explicit"):
+                                   halo: str = "explicit", *, _env=None):
     """Single-dispatch pipeline with rows sharded over the mesh's spatial
     axis — the SURVEY §2.7 spatial domain decomposition.
 
@@ -1386,10 +1390,9 @@ def warmup_bucketed(orig_shape: Tuple[int, int], cfg: FlowConfig,
     import time
     from concurrent.futures import ThreadPoolExecutor
 
-    key = (orig_shape, cfg, grouped)
+    key = (orig_shape, cfg, grouped, _trace_env_fingerprint())
     if key in _WARMED:
         return 0.0
-    _WARMED.add(key)
     t0 = time.perf_counter()
     h0, w0 = orig_shape
     zeros_frame = jnp.zeros((h0, w0), jnp.float32)
@@ -1414,4 +1417,9 @@ def warmup_bucketed(orig_shape: Tuple[int, int], cfg: FlowConfig,
             list(ex.map(compile_group, groups))
         smooth = _compiled_smooth_pad(cfg.gaussian_sigma, (h0, w0), top_bucket)
         np.asarray(smooth(zeros_frame))
+    # Record success only AFTER everything compiled+ran: a transient
+    # remote-compile/tunnel failure must not mark the key warmed (the
+    # retry would return 0.0 and the first timed run would eat the
+    # compile).
+    _WARMED.add(key)
     return time.perf_counter() - t0
