@@ -779,8 +779,9 @@ def _whole_level_eligible(scalars, bucket, cfg: FlowConfig):
     """
     import os
 
+    mode = os.environ.get("TPUFLOW_WHOLE_LEVEL", "1")
     if (
-        os.environ.get("TPUFLOW_WHOLE_LEVEL", "1") == "0"
+        mode == "0"
         or os.environ.get("TPUFLOW_FUSED_LEVEL", "1") == "0"
         or os.environ.get("TPUFLOW_DISABLE_PALLAS") == "1"
         or os.environ.get("TPUFLOW_ABLATE", "")
@@ -791,12 +792,16 @@ def _whole_level_eligible(scalars, bucket, cfg: FlowConfig):
     if not all(isinstance(s, (int, float, np.integer, np.floating))
                for s in scalars[:20]):
         return None
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        platform = "cpu"
-    if platform != "tpu":
-        return None
+    if mode != "interpret":
+        # "interpret" (tests): run the whole-level kernel in Pallas
+        # interpret mode on any backend, so the CPU suite can drive the
+        # production trimmed-carry wiring end-to-end.
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            platform = "cpu"
+        if platform != "tpu":
+            return None
     from tpuflow.ops.pallas.level_fused import level_fused_whole_supported
 
     hb_eff, wb_eff = _trim_eff(bucket, scalars, cfg)
@@ -1092,7 +1097,9 @@ def _compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
                             and bucket == top_bucket
                         )
                         u_t, v_t = bucketed_level_step_trim(
-                            f0s2, u_t, v_t, sc, eff, top_bucket, fin, cfg
+                            f0s2, u_t, v_t, sc, eff, top_bucket, fin, cfg,
+                            interpret=os.environ.get(
+                                "TPUFLOW_WHOLE_LEVEL", "1") == "interpret",
                         )
                     else:
                         eff2 = _trim_eff(bucket, sc, cfg)
