@@ -14,8 +14,19 @@ the default schedule (<=46 levels x 40 outer x 5 inner + medians)
 
 Numerical gate: ``epe_px`` is the endpoint error of the TPU flow vs the
 NumPy-oracle golden flow (data/oracle_rub_default.npz, regenerate with
-tools/regen_oracle_golden.py); ``epe_ok`` asserts the BASELINE.md target
-(<= 0.05 px). A perf "win" that corrupts numerics shows up here.
+tools/regen_oracle_golden.py); ``epe_ok`` enforces the BASELINE.md target
+(<= 0.05 px): a failing gate still prints the JSON line but exits 1
+(opt out with TPUFLOW_BENCH_NO_EPE_EXIT=1). A perf "win" that corrupts
+numerics fails the run, not just a JSON field.
+
+Outage watchdog: the TPU is reached through a network tunnel that can
+die mid-run (round 2 lost its capture to a hang). A daemon timer fires
+if any stage exceeds its deadline and emits
+``{"error": "tpu-unreachable", "stage": ...}`` as the one JSON line
+(exit 2) instead of hanging forever. Stage budgets are generous because
+the remote compile service has ~60 s fixed cost per program and
+congests; override with TPUFLOW_BENCH_PROBE_DEADLINE /
+TPUFLOW_BENCH_DEADLINE (seconds).
 
 Timing is steady-state: one warm-up run (pays XLA compilation), then
 ``runs`` timed batches of ``k`` chained pairs, each fenced once by host
@@ -28,6 +39,7 @@ min/median/max over batches record the spread for cross-round comparison.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -47,6 +59,50 @@ RUB_DIR_CANDIDATES = (
     "/root/reference/data",
 )
 ORACLE_GOLDEN = os.path.join(REPO, "data", "oracle_rub_default.npz")
+
+
+class Watchdog:
+    """Per-stage deadline timer: on expiry, emit an error JSON line and die.
+
+    The axon tunnel hangs (no exception, no progress) when the pooled TPU
+    service goes down; ``np.asarray`` fences then block forever. The timer
+    runs on a daemon thread and ``os._exit``s so no hung device call can
+    keep the process alive past its deadline.
+    """
+
+    def __init__(self):
+        self._timer = None
+        self._stage = "init"
+
+    def arm(self, stage, seconds):
+        self.cancel()
+        self._stage = stage
+
+        def fire():
+            print(
+                json.dumps(
+                    {
+                        "metric": "rub-pair full coarse-to-fine solve (584x388, default schedule)",
+                        "value": 0.0,
+                        "unit": "Mpix/s",
+                        "vs_baseline": 0.0,
+                        "error": "tpu-unreachable",
+                        "stage": stage,
+                        "deadline_s": seconds,
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(2)
+
+        self._timer = threading.Timer(seconds, fire)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def cancel(self):
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
 
 
 def load_frames():
@@ -70,7 +126,18 @@ def load_frames():
 
 
 def main():
+    probe_deadline = float(os.environ.get("TPUFLOW_BENCH_PROBE_DEADLINE", "300"))
+    run_deadline = float(os.environ.get("TPUFLOW_BENCH_DEADLINE", "1800"))
+    dog = Watchdog()
+
+    # Quick connectivity probe: one tiny program, device round trip. Fails
+    # fast (vs the full warm-up's multi-minute compile budget) when the
+    # tunnel is down at startup.
+    dog.arm("probe", probe_deadline)
     import jax
+    import jax.numpy as jnp
+
+    np.asarray(jax.jit(lambda x: x * 2.0)(jnp.ones((8, 128))))
 
     from tpuflow import FlowConfig, compute_flow
     from tpuflow.solver.flow2d import compute_flow_async, endpoint_error
@@ -84,6 +151,7 @@ def main():
     h, w = f0.shape
     cfg = FlowConfig()
 
+    dog.arm("warmup-compile", run_deadline)
     res = compute_flow(f0, f1, cfg)  # warm-up: compiles every level program
     assert np.isfinite(res.u).all() and np.isfinite(res.v).all()
 
@@ -94,8 +162,6 @@ def main():
         golden = np.load(ORACLE_GOLDEN)
         epe = endpoint_error(res.u, res.v, golden["u"], golden["v"])
         epe_ok = bool(epe <= EPE_TARGET_PX)
-
-    import jax.numpy as jnp
 
     f0, f1 = jnp.asarray(f0), jnp.asarray(f1)  # upload once; streaming reuse
 
@@ -111,12 +177,14 @@ def main():
     runs = int(os.environ.get("TPUFLOW_BENCH_RUNS", "6"))
     k = int(os.environ.get("TPUFLOW_BENCH_PAIRS", "96"))
     times = []
-    for _ in range(runs):
+    for i in range(runs):
+        dog.arm("timed-batch-%d" % i, run_deadline)
         t0 = time.perf_counter()
         for _ in range(k):
             u, v = compute_flow_async(f0, f1, cfg)
         np.asarray(u), np.asarray(v)
         times.append((time.perf_counter() - t0) / k)
+    dog.cancel()
 
     mpix = sorted((w * h) / s / 1e6 for s in times)
     best = mpix[-1]
@@ -133,7 +201,9 @@ def main():
     if epe is not None:
         record["epe_px"] = round(epe, 8)
         record["epe_ok"] = epe_ok
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
+    if epe_ok is False and os.environ.get("TPUFLOW_BENCH_NO_EPE_EXIT") != "1":
+        sys.exit(1)
 
 
 if __name__ == "__main__":
