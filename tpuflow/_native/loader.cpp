@@ -26,6 +26,7 @@
 #include <cstdio>
 #include <cstring>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -103,8 +104,15 @@ void WorkerLoop(Loader* ld) {
   }
 }
 
+// Handles own the Loader through shared_ptr: tf_loader_next copies the
+// pointer out of the map under the mutex, so a concurrent tf_loader_close
+// (which erases the map entry) cannot free the Loader while next is
+// blocked on cv_ready — destruction defers until the last holder drops
+// its reference. The Python wrapper documents a single-consumer contract;
+// this makes the C ABI itself safe against a misuse that used to be a
+// use-after-free (round-2 advisory).
 std::mutex g_handles_mutex;
-std::map<int64_t, Loader*> g_handles;
+std::map<int64_t, std::shared_ptr<Loader>> g_handles;
 int64_t g_next_handle = 1;
 
 }  // namespace
@@ -115,7 +123,8 @@ int64_t tf_loader_open(const char* paths_joined, int64_t n_paths,
                        int64_t width, int64_t height, int64_t ring,
                        int64_t threads) {
   if (n_paths <= 0 || width <= 0 || height <= 0) return 0;
-  auto* ld = new Loader();
+  auto owned = std::make_shared<Loader>();
+  Loader* ld = owned.get();
   ld->width = static_cast<size_t>(width);
   ld->height = static_cast<size_t>(height);
   ld->ring = static_cast<size_t>(ring < 2 ? 2 : ring);
@@ -131,8 +140,7 @@ int64_t tf_loader_open(const char* paths_joined, int64_t n_paths,
     p = nl + 1;
   }
   if (ld->paths.size() != static_cast<size_t>(n_paths)) {
-    delete ld;
-    return 0;
+    return 0;  // owned releases the Loader
   }
 
   ld->slots.assign(ld->ring, std::vector<float>(ld->width * ld->height));
@@ -145,26 +153,28 @@ int64_t tf_loader_open(const char* paths_joined, int64_t n_paths,
 
   std::lock_guard<std::mutex> lock(g_handles_mutex);
   int64_t h = g_next_handle++;
-  g_handles[h] = ld;
+  g_handles[h] = std::move(owned);
   return h;
 }
 
 int tf_loader_next(int64_t handle, float* out) {
-  Loader* ld;
+  std::shared_ptr<Loader> ld;
   {
     std::lock_guard<std::mutex> lock(g_handles_mutex);
     auto it = g_handles.find(handle);
     if (it == g_handles.end()) return -1;
-    ld = it->second;
+    ld = it->second;  // keeps the Loader alive past a concurrent close
   }
   std::unique_lock<std::mutex> lock(ld->m);
-  if (ld->next_out >= ld->paths.size()) return -1;
+  if (ld->stop || ld->next_out >= ld->paths.size()) return -1;
   size_t frame = ld->next_out;
   size_t slot = frame % ld->ring;
   ld->cv_ready.wait(lock, [&] {
+    if (ld->stop) return true;  // close() aborts a blocked consumer
     int s = ld->state[slot];
     return (s == kReady || s == kError) && ld->slot_frame[slot] == frame;
   });
+  if (ld->stop) return -1;
   int s = ld->state[slot];
   if (s == kReady) {
     std::memcpy(out, ld->slots[slot].data(),
@@ -178,12 +188,12 @@ int tf_loader_next(int64_t handle, float* out) {
 }
 
 void tf_loader_close(int64_t handle) {
-  Loader* ld = nullptr;
+  std::shared_ptr<Loader> ld;
   {
     std::lock_guard<std::mutex> lock(g_handles_mutex);
     auto it = g_handles.find(handle);
     if (it == g_handles.end()) return;
-    ld = it->second;
+    ld = std::move(it->second);
     g_handles.erase(it);
   }
   {
@@ -191,8 +201,10 @@ void tf_loader_close(int64_t handle) {
     ld->stop = true;
   }
   ld->cv_space.notify_all();
+  ld->cv_ready.notify_all();  // wake any consumer blocked in next()
   for (auto& t : ld->workers) t.join();
-  delete ld;
+  // ld (and any copy a concurrent next() holds) releases the Loader when
+  // the last reference drops.
 }
 
 }  // extern "C"

@@ -13,8 +13,10 @@ Transliterates the math of reference: src/kernels/solve_2d.cu —
 
 All stencils use mirror ('reflect') boundaries like the shared-memory halo
 loads in the reference.  Everything is shift-and-multiply on the VPU; XLA
-fuses the whole sweep into a handful of loops.  A fused Pallas kernel for
-the k-sweep inner loop lives in tpuflow.ops.pallas.sweep.
+fuses the whole sweep into a handful of loops.  The fused Pallas
+relaxation kernels live in tpuflow.ops.pallas.relax_bucket (whole-level
+variants: tpuflow.ops.pallas.level_fused); interpret-mode tests pin them
+against this module's math.
 """
 
 from __future__ import annotations

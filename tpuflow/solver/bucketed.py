@@ -35,7 +35,6 @@ scalars); tests pin bucketed vs per-shape on full pipelines.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Tuple
 
 import numpy as np
@@ -940,37 +939,13 @@ def _level_slow_tail(res, scalars, cfg: FlowConfig):
     return median(uu, cfg.median_radius), median(vv, cfg.median_radius)
 
 
-# Env flags the traced programs bake in; appended to every builder's
-# cache key so flipping one after a first call cannot silently return a
-# stale program (the profiling tools used to need manual cache_clear()).
-_TRACE_ENV_FLAGS = (
-    "TPUFLOW_ABLATE", "TPUFLOW_MM_PRECISION", "TPUFLOW_BANDED_RESAMPLE",
-    "TPUFLOW_BANDED_COLS", "TPUFLOW_FUSED_LEVEL", "TPUFLOW_WHOLE_LEVEL",
-    "TPUFLOW_DISABLE_PALLAS", "TPUFLOW_SMOOTH", "TPUFLOW_KERNEL_SHIFT",
+# Env-fingerprinted builder cache (shared with the per-shape engine):
+# flipping a trace-time TPUFLOW_* flag can never return a stale program.
+from tpuflow.utils.envcache import (  # noqa: E402
+    TRACE_ENV_FLAGS as _TRACE_ENV_FLAGS,
+    env_cached as _env_cached,
+    trace_env_fingerprint as _trace_env_fingerprint,
 )
-
-
-def _trace_env_fingerprint() -> tuple:
-    import os
-
-    return tuple(os.environ.get(k, "") for k in _TRACE_ENV_FLAGS)
-
-
-def _env_cached(maxsize: int):
-    """``lru_cache`` that appends the TPUFLOW_* trace-env fingerprint to
-    the key (every builder below reads those flags at trace time)."""
-
-    def deco(fn):
-        cached = functools.lru_cache(maxsize=maxsize)(fn)
-
-        @functools.wraps(fn)
-        def wrapper(*args, **kwargs):
-            return cached(*args, _env=_trace_env_fingerprint(), **kwargs)
-
-        wrapper.cache_clear = cached.cache_clear
-        return wrapper
-
-    return deco
 
 
 @_env_cached(maxsize=256)
@@ -1052,9 +1027,15 @@ def compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
 compiled_full_pipeline.cache_clear = lambda: _compiled_full_pipeline.cache_clear()  # noqa: E731,E501
 
 
-@_env_cached(maxsize=64)
-def _compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
-                            unroll: bool, *, _env=None):
+def make_pipeline_fn(orig_shape: Tuple[int, int], cfg: FlowConfig,
+                     unroll: bool):
+    """The single-pair whole-pipeline body as a pure (f0, f1) -> (u, v)
+    function (unjitted). `_compiled_full_pipeline` jits it directly;
+    `compiled_full_pipeline_dp` shard_maps it over a 'data' mesh axis so
+    every chip runs THIS engine (Pallas kernels included) on its own
+    pairs — frame pairs are independent (reference contract: one pair per
+    run, src/main.cpp:175-178), so data parallelism needs no partitioning
+    of the per-pair program at all."""
     import os
 
     h0, w0 = orig_shape
@@ -1066,7 +1047,6 @@ def _compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
     # (WRONG values; attributes their cost by config-differencing).
     nosmooth = "nosmooth" in os.environ.get("TPUFLOW_ABLATE", "").split(",")
 
-    @jax.jit
     def run(f0, f1):
         f0s = f0 if nosmooth else gaussian_smooth(f0, cfg.gaussian_sigma)
         f0s = jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(f0s)
@@ -1133,6 +1113,12 @@ def _compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
         return u[:h0, :w0], v[:h0, :w0]
 
     return run
+
+
+@_env_cached(maxsize=64)
+def _compiled_full_pipeline(orig_shape: Tuple[int, int], cfg: FlowConfig,
+                            unroll: bool, *, _env=None):
+    return jax.jit(make_pipeline_fn(orig_shape, cfg, unroll))
 
 
 def compute_flow_bucketed_async(frame_0, frame_1, cfg: FlowConfig = None,
@@ -1246,6 +1232,51 @@ def compiled_full_pipeline_batched(orig_shape: Tuple[int, int], batch: int,
     return jax.jit(jax.vmap(single))
 
 
+@_env_cached(maxsize=32)
+def compiled_full_pipeline_dp(orig_shape: Tuple[int, int], b_local: int,
+                              mesh, data_axis: str, cfg: FlowConfig,
+                              *, _env=None):
+    """Data-parallel whole-pipeline program: `shard_map` over ``data_axis``
+    whose per-shard body is the FULL single-pair engine — Pallas kernels
+    included — run over the shard's ``b_local`` pairs sequentially
+    (single-stream chaining, the measured throughput mode on one chip;
+    batching the per-chip program was 4-5x slower, BASELINE.md).
+
+    Frame pairs are independent (reference: one pair per run,
+    src/main.cpp:175-178), so the per-shard program needs ZERO cross-shard
+    collectives and GSPMD never has to partition the Pallas custom calls —
+    the constraint that used to force the vmapped batch path onto the
+    ~2.5x-slower XLA relaxation engine on DP meshes. A jaxpr-level test
+    pins both properties (Mosaic kernels present, no collectives).
+    """
+    import os
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    unroll = os.environ.get("TPUFLOW_UNROLL", "1") != "0"
+    single = make_pipeline_fn(orig_shape, cfg, unroll)
+
+    def local_fn(f0_l, f1_l):
+        # (b_local, H, W) local pairs; unrolled Python loop — XLA overlaps
+        # the chain like the async single-pair dispatch stream does.
+        outs = [single(f0_l[i], f1_l[i]) for i in range(b_local)]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
+
+    spec = P(data_axis, None, None)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 @_env_cached(maxsize=64)
 def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
                                    y_axis: str, cfg: FlowConfig,
@@ -1343,16 +1374,27 @@ def compute_flow_bucketed_sharded(frame_0, frame_1, cfg: FlowConfig = None,
 
 
 def compute_flow_bucketed_batch(frames_0, frames_1, cfg: FlowConfig = None,
-                                mesh=None, data_axis: str = "data"):
+                                mesh=None, data_axis: str = "data",
+                                dp: str = "shard_map"):
     """Solve a (B, H, W) stack of independent frame pairs.
 
     The streaming-throughput entry point: batching amortizes the per-pass
     dispatch floor that dominates the ~28 tiny coarse levels. Returns
     DEVICE arrays (B, H, W).
 
-    With ``mesh``, the batch axis is sharded over the mesh's ``data`` axis
-    (pure data parallelism over chips — frame pairs are independent, so
-    GSPMD partitions every bucket program with zero communication).
+    With ``mesh``, pairs are data-parallel over the mesh's ``data_axis``.
+    Frame pairs are independent (reference contract: one pair per run,
+    src/main.cpp:175-178), so the default ``dp="shard_map"`` runs the
+    FULL single-pair engine — Pallas kernels included — per shard via
+    `compiled_full_pipeline_dp` (N x the headline single-chip engine; the
+    batch is padded to an axis-size multiple by repeating the last pair
+    and trimmed after; output sharding is P(data_axis) on the caller's
+    mesh, so global/multi-host arrays keep their shard layout). For pure
+    DP put every device on ``data_axis`` — other mesh axes replicate the
+    work. ``dp="gspmd"`` keeps the legacy vmapped program whose batch
+    axis GSPMD shards over ``data_axis`` — that path must force the XLA
+    relaxation (GSPMD cannot partition the Pallas custom call), so it
+    runs ~2.5x slower per chip; it remains as the A/B baseline.
     """
     cfg = cfg or FlowConfig()
     f0 = jnp.asarray(frames_0, dtype=jnp.float32)
@@ -1364,16 +1406,31 @@ def compute_flow_bucketed_batch(frames_0, frames_1, cfg: FlowConfig = None,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # Pad the batch to an axis-size multiple by repeating the last
+        # pair (trimmed after): both DP modes shard the batch axis.
+        n = mesh.shape[data_axis]
+        b_pad = -(-b // n) * n
+        if b_pad != b:
+            f0 = jnp.concatenate(
+                [f0, jnp.broadcast_to(f0[-1:], (b_pad - b, h0, w0))], axis=0)
+            f1 = jnp.concatenate(
+                [f1, jnp.broadcast_to(f1[-1:], (b_pad - b, h0, w0))], axis=0)
         sharding = NamedSharding(mesh, P(data_axis, None, None))
         f0 = jax.device_put(f0, sharding)
         f1 = jax.device_put(f1, sharding)
+        if dp == "shard_map":
+            run = compiled_full_pipeline_dp((h0, w0), b_pad // n, mesh,
+                                            data_axis, cfg)
+        else:
+            # Legacy vmapped program: GSPMD shards the batch axis but
+            # cannot partition the Pallas custom call -> XLA relaxation.
+            run = compiled_full_pipeline_batched((h0, w0), b_pad, cfg,
+                                                 use_pallas=False)
+        u, v = run(f0, f1)
+        return (u, v) if b_pad == b else (u[:b], v[:b])
 
-    # One program, one dispatch (the whole pyramid vmapped over the batch);
-    # with sharded inputs GSPMD partitions the batch axis across the mesh
-    # (XLA relaxation: GSPMD cannot partition the Pallas custom call).
-    run = compiled_full_pipeline_batched(
-        (h0, w0), b, cfg, use_pallas=False if mesh is not None else None
-    )
+    # One program, one dispatch (the whole pyramid vmapped over the batch).
+    run = compiled_full_pipeline_batched((h0, w0), b, cfg)
     return run(f0, f1)
 
 

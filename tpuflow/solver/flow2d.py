@@ -15,7 +15,6 @@ inefficiencies (per-sweep stream sync, per-launch tensor recompute).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import List, Optional, Tuple
 
@@ -27,6 +26,7 @@ from tpuflow.config import FlowConfig
 from tpuflow.ops.gaussian import gaussian_smooth
 from tpuflow.pyramid import level_schedule
 from tpuflow.solver.level import compiled_level_step, level_step
+from tpuflow.utils.envcache import env_cached, trace_env_fingerprint
 
 
 @dataclasses.dataclass
@@ -193,8 +193,8 @@ def compute_flow_async(
     return u, v
 
 
-@functools.lru_cache(maxsize=64)
-def _compiled_pipeline(orig_shape: tuple, cfg: FlowConfig):
+@env_cached(maxsize=64)
+def _compiled_pipeline(orig_shape: tuple, cfg: FlowConfig, *, _env=None):
     """One jitted program for the whole coarse-to-fine solve."""
     orig_h, orig_w = orig_shape
     specs = level_schedule(orig_w, orig_h, cfg.warp_levels_count, cfg.warp_scale_factor)
@@ -213,8 +213,10 @@ def _compiled_pipeline(orig_shape: tuple, cfg: FlowConfig):
     return run
 
 
-@functools.lru_cache(maxsize=64)
-def _compiled_smooth(sigma: float):
+@env_cached(maxsize=64)
+def _compiled_smooth(sigma: float, *, _env=None):
+    # gaussian_smooth reads TPUFLOW_SMOOTH at trace time, so the cache is
+    # env-keyed like the bucketed engine's builders (round-2 advisory).
     return jax.jit(lambda a: gaussian_smooth(a, sigma))
 
 
@@ -232,7 +234,7 @@ def warmup(orig_shape: Tuple[int, int], cfg: FlowConfig, max_workers: int = 16) 
     cuts cold-start from minutes to tens of seconds. Returns wall seconds
     spent. Idempotent per (shape, cfg) within the process.
     """
-    key = (orig_shape, cfg)
+    key = (orig_shape, cfg, trace_env_fingerprint())
     if key in _WARMED:
         return 0.0
     t0 = time.perf_counter()

@@ -21,7 +21,6 @@ The per-level programs are compiled once per (shape, config) and cached.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax
@@ -37,6 +36,7 @@ from tpuflow.ops.solver_ops import (
 )
 from tpuflow.ops.warp import warp
 from tpuflow.pyramid import LevelSpec
+from tpuflow.utils.envcache import env_cached
 
 
 def relax(
@@ -124,11 +124,14 @@ def level_step(
     return u, v
 
 
-@functools.lru_cache(maxsize=256)
+@env_cached(maxsize=256)
 def compiled_level_step(
-    spec: LevelSpec, cfg: FlowConfig, prev_shape: Tuple[int, int]
+    spec: LevelSpec, cfg: FlowConfig, prev_shape: Tuple[int, int],
+    *, _env=None,
 ) -> Callable:
-    """Jitted level program, cached per (level spec, config, input shape)."""
+    """Jitted level program, cached per (level spec, config, input shape,
+    trace-env fingerprint — level_step's ops read TPUFLOW_* flags at trace
+    time)."""
     del prev_shape  # part of the cache key; shapes are read off the args
 
     @jax.jit
