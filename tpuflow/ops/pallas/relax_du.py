@@ -1,0 +1,1159 @@
+"""du-iterate relaxation kernels (Pallas TPU): fewer persistent fields.
+
+The verified production kernels (ops/pallas/relax_bucket.py) iterate on
+the combined field T = flow + d. That made every sweep touch only two
+shifted fields, but it drags u, v through the kernel (T's init, the
+per-sweep ``T - u`` recentering, the final subtraction) and keeps 12-16
+persistent full-bucket fields live. This module implements the du/dv
+ITERATE reformulation (CLAUDE.md round-3 lever #1; math contract:
+reference src/kernels/solve_2d.cu:349-367):
+
+  * ksi's inputs are the iterate directly (du_c, dv_c — no recentering);
+  * the smoothness sum splits exactly:
+        sumU = sum_i pw_i (T_i - u_c) = sum_i pw_i du_i + cu,
+        cu   = sum_i pw_i (u_i - u_c)   — a per-OUTER constant,
+    folded with the data terms into bu = -ksi*J13 + cu (bv likewise), so
+    a sweep reads ONLY: du/dv shifts, pw_xp/pw_yp (the xm/ym halves are
+    derived by shift — exact off-boundary because float addition is
+    commutative: pw_ym[y] = (phi[y-1]+phi[y])/2 * w = pw_yp[y-1] for
+    0 < y < ch, and the boundary rows are weight-masked to zero), and
+    the five per-outer term fields a12, bu, bv, dnu, dnv;
+  * u, v are consumed ONLY by the per-outer prologue (phi gradient + cu),
+    so the chunked/streamed variants stream them from HBM once per outer
+    instead of keeping them VMEM-resident;
+  * ghost rule: mirror-maintaining the du/dv ghosts composes with the
+    mirror-maintained u, v inputs, so T's ghost stays exact (mirror is a
+    permutation: ghost(u)+ghost(du) = mirror(u)+mirror(du) = mirror(T)).
+
+Accepted reassociations vs tpuflow.solver.bucketed._relax_dyn (both
+1-ulp-class, EPE-bounded by the parity tests, like the T-iterate's
+documented ones): splitting sum_i pw_i (T_i - u_c) into
+sum_i pw_i du_i + cu, and folding -a13 + cu into one field. The phi
+gradient is computed from SEPARATE u and du shifts — bit-identical to
+compute_phi_ksi_dyn (closer than the T-iterate kernels, which pay a
+reassociation there).
+
+Variants:
+  * "full"    — everything VMEM (buckets passing fits_du_full): the
+    probe for the VMEM-traffic floor hypothesis — 13 per-sweep field
+    touches vs the T-iterate full variant's 15;
+  * "chunked" — du/dv + the seven per-outer fields VMEM-resident
+    (9 persistent fields vs the T-iterate chunked variant's 12), u, v
+    and the level constants streamed from HBM per outer; sweeps run IN
+    PLACE over 64-row chunks with a saved-halo-row stash instead of
+    ping-pong buffers. Admits 1080p-class fine buckets with headroom.
+  * "streamed" — 4K-class: every field HBM-resident; VMEM holds only
+    double-buffered chunk windows (the reference's contract is anything
+    fitting device memory, optical_flow_2d.cpp:84-140).
+
+Scalars (valid extent + h-derived float32 constants) arrive in SMEM so
+one compiled kernel serves every level of a bucket. Interpret-mode tests
+pin all variants against _relax_dyn on the valid region.
+
+MAINTENANCE NOTE: the prologue/sweep expressions mirror
+solver.bucketed._relax_dyn term-for-term (modulo the documented folds);
+numerics changes must be mirrored there and in ops/pallas/relax_bucket
+/level_fused, and the parity-matrix tests re-run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuflow.config import DataConstancy, FlowConfig
+from tpuflow.ops.pallas.relax_bucket import (
+    VMEM_BUDGET_BYTES,
+    VMEM_LIMIT_BYTES,
+    n_const_fields,
+)
+
+
+def _field_bytes(hb: int, wb: int) -> int:
+    return hb * wb * 4
+
+
+def fits_du_full(hb: int, wb: int, cfg: FlowConfig) -> bool:
+    """Unchunked du-iterate working set: 13 persistent fields (4 iterate
+    ping-pong + 2 pw + 5 terms + u, v inputs) + constants + ~16 live
+    transients per pass."""
+    if cfg.inner_iterations_count < 1:
+        return False
+    if hb % 8 != 0 or wb % 128 != 0:
+        return False
+    n = 13 + n_const_fields(cfg) + 16
+    return n * _field_bytes(hb, wb) <= VMEM_BUDGET_BYTES
+
+
+def _chunk_fits(hb: int, wb: int, cfg: FlowConfig, c: int) -> bool:
+    chunk_rows = (
+        2 * (c + 16)                          # u, v slab buffers
+        + n_const_fields(cfg) * c             # streamed constants
+        + 16 * (c + 4)                        # live chunk transients
+    )
+    need = 9 * _field_bytes(hb, wb) + chunk_rows * wb * 4
+    return need <= VMEM_BUDGET_BYTES
+
+
+def du_chunk_rows(hb: int, wb: int, cfg: FlowConfig) -> Optional[int]:
+    """Largest chunk height that fits: the 9-persistent-field trim buys
+    room for bigger chunks than the T-iterate's 64, amortizing the
+    chunk-loop/slab-assembly overhead (measured: the du-vs-T field trim
+    alone moved 1080p only ~2.5%; the overhead is per-chunk, so fewer,
+    larger chunks are the lever). Non-dividing heights run a static
+    remainder chunk (hb is a 64-multiple, so the remainder is too)."""
+    for c in (512, 256, 128, 64):
+        if c <= hb and _chunk_fits(hb, wb, cfg, c):
+            return c
+    return None
+
+
+def fits_du_chunked(hb: int, wb: int, cfg: FlowConfig) -> bool:
+    """Chunked variant: 9 persistent fields + chunk windows."""
+    if cfg.inner_iterations_count < 1:
+        return False
+    if hb % 8 != 0 or wb % 128 != 0:
+        return False
+    return du_chunk_rows(hb, wb, cfg) is not None
+
+
+def _stream_window_fits(wb: int, cfg: FlowConfig, c: int) -> bool:
+    window_rows = (
+        2 * 2 * (c + 16)                  # du, dv in-slabs x 2 slots
+        + 2 * 2 * c                       # out chunks x 2 slots
+        + 4 * (c + 16)                    # u, v, du, dv prologue staging
+        + 2 * 7 * c                       # term staging x 2 slots
+        + 2 * 6 * c + 2 * (c + 8)         # sweep term windows x 2 slots
+        + n_const_fields(cfg) * c         # streamed constants
+        + 16 * (c + 6)                    # transients
+    )
+    return window_rows * wb * 4 <= VMEM_BUDGET_BYTES
+
+
+def streamed_chunk_rows(hb: int, wb: int, cfg: FlowConfig) -> Optional[int]:
+    """Largest dividing chunk height whose double-buffered windows fit
+    (the streamed pipeline's slot logic needs equal chunks, so only
+    dividing heights qualify; every bucket height is a 64-multiple)."""
+    for c in (256, 128, 64):
+        if hb % c == 0 and _stream_window_fits(wb, cfg, c):
+            return c
+    return None
+
+
+def streamed_supported(hb: int, wb: int, cfg: FlowConfig) -> bool:
+    """Streamed variant: only chunk windows live in VMEM, so the gate is
+    alignment plus the window budget (double-buffered slabs for 11
+    streamed fields + transients)."""
+    if cfg.inner_iterations_count < 1:
+        return False
+    if wb % 128 != 0:
+        return False
+    return streamed_chunk_rows(hb, wb, cfg) is not None
+
+
+def relax_du_supported(hb: int, wb: int, cfg: FlowConfig) -> bool:
+    return (
+        fits_du_full(hb, wb, cfg)
+        or fits_du_chunked(hb, wb, cfg)
+        or streamed_supported(hb, wb, cfg)
+    )
+
+
+def _shift_xp(a):
+    return jnp.concatenate([a[:, 1:], a[:, -2:-1]], axis=1)
+
+
+def _shift_xm(a):
+    return jnp.concatenate([a[:, 1:2], a[:, :-1]], axis=1)
+
+
+def _derive_pw_xm(pw_xp, xs):
+    """pw_xm[x] = pw_xp[x-1] off-boundary; x = 0 is weight-masked to 0.
+    Bit-exact at valid pixels: (phi[x-1]+phi[x]) == (phi[x]+phi[x-1])."""
+    shifted = jnp.concatenate([pw_xp[:, :1], pw_xp[:, :-1]], axis=1)
+    return jnp.where(xs == 0, jnp.float32(0.0), shifted)
+
+
+def _derive_pw_ym_full(pw_yp, ys):
+    """Full-field twin of _derive_pw_xm along rows."""
+    shifted = jnp.concatenate([pw_yp[:1, :], pw_yp[:-1, :]], axis=0)
+    return jnp.where(ys == 0, jnp.float32(0.0), shifted)
+
+
+def relax_du_fused(
+    fx: jax.Array,
+    fy: jax.Array,
+    ft: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    scalars,             # LevelScalars.tree() entries (static or traced 0-d)
+    cfg: FlowConfig,
+    *,
+    tensor: Optional[tuple] = None,  # (J11, J22, J12, J13, J23) grad/log
+    interpret: bool = False,
+    force_mode: Optional[str] = None,  # "full" | "chunked" | "streamed"
+    pw_mode: str = "derive",           # full variant only (A/B probe)
+) -> Tuple[jax.Array, jax.Array]:
+    """(du, dv) after the full outer x inner relaxation; bucket-shaped
+    inputs (u, v mirror-maintained by the caller, like _relax_dyn's)."""
+    hb, wb = u.shape
+    if force_mode is not None:
+        mode = force_mode
+    elif fits_du_full(hb, wb, cfg):
+        mode = "full"
+    elif fits_du_chunked(hb, wb, cfg):
+        mode = "chunked"
+    else:
+        mode = "streamed"
+    if mode == "full":
+        return _relax_du_full(fx, fy, ft, u, v, scalars, cfg, tensor=tensor,
+                              interpret=interpret, pw_mode=pw_mode)
+    if mode == "chunked":
+        return _relax_du_chunked(fx, fy, ft, u, v, scalars, cfg,
+                                 tensor=tensor, interpret=interpret)
+    return _relax_du_streamed(fx, fy, ft, u, v, scalars, cfg, tensor=tensor,
+                              interpret=interpret)
+
+
+def _smem_args(scalars):
+    (cw, ch, _, _, div2hx, div2hy, _, _, a_hx2, a_hy2) = scalars[:10]
+    smem_i = [jnp.asarray(x, jnp.int32).reshape(1, 1) for x in (cw, ch)]
+    smem_f = [
+        jnp.asarray(x, jnp.float32).reshape(1, 1)
+        for x in (div2hx, div2hy, a_hx2, a_hy2)
+    ]
+    return smem_i, smem_f
+
+
+def _relax_du_full(
+    fx, fy, ft, u, v, scalars, cfg: FlowConfig, *,
+    tensor: Optional[tuple] = None, interpret: bool = False,
+    pw_mode: str = "derive",  # "derive" (2 pw fields) | "four" (A/B probe)
+) -> Tuple[jax.Array, jax.Array]:
+    """Unchunked du-iterate variant: the field-trim probe for the
+    VMEM-traffic floor claim (BASELINE.md).
+
+    Per-sweep field touches: du/dv shifts (2) + pw_xp/pw_yp (2, with the
+    xm/ym halves derived by shift) + a12, bu, bv, dnu, dnv (5) + 2 writes
+    = 11 reads + 2 shifts + 2 writes, vs the T-iterate full variant's 13
+    reads + 2 writes. If the sweep is VMEM-traffic-bound as measured
+    (shiftonly probe 86%), this should run ~1.15x faster per pass.
+    """
+    hb, wb = u.shape
+    grey = cfg.data_constancy == DataConstancy.GREY
+    if not grey:
+        assert tensor is not None and len(tensor) == 5
+    consts = (fx, fy, ft) if grey else (fx, fy, ft, *tensor)
+    n_const = len(consts)
+    inner = cfg.inner_iterations_count
+    F = np.float32
+    e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
+    e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
+    smem_i, smem_f = _smem_args(scalars)
+
+    def kernel(*refs):
+        (cw_ref, ch_ref, d2x_ref, d2y_ref, ax_ref, ay_ref,
+         u_ref, v_ref) = refs[:8]
+        const_refs = refs[8:8 + n_const]
+        (du_ref, dv_ref,
+         dub_ref, dvb_ref,
+         pwxp_ref, pwyp_ref, pwxm_ref, pwym_ref,
+         a12_ref, bu_ref, bv_ref, dnu_ref, dnv_ref) = refs[8 + n_const:]
+        cwv = cw_ref[0, 0]
+        chv = ch_ref[0, 0]
+        d2x = d2x_ref[0, 0]
+        d2y = d2y_ref[0, 0]
+        axv = ax_ref[0, 0]
+        ayv = ay_ref[0, 0]
+
+        ys = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+
+        def maintain1(ref):
+            val = ref[:]
+            rolled_r = pltpu.roll(val, 2, 0)
+            val = jnp.where(ys == chv, rolled_r, val)
+            rolled_c = pltpu.roll(val, 2, 1)
+            ref[:] = jnp.where(xs == cwv, rolled_c, val)
+
+        def sh(a):
+            """center, x+1, x-1, y+1, y-1 with bucket-edge mirror (the
+            `_shifts` semantics of the XLA path)."""
+            xp = jnp.concatenate([a[:, 1:], a[:, -2:-1]], axis=1)
+            xm = jnp.concatenate([a[:, 1:2], a[:, :-1]], axis=1)
+            yp = jnp.concatenate([a[1:, :], a[-2:-1, :]], axis=0)
+            ym = jnp.concatenate([a[1:2, :], a[:-1, :]], axis=0)
+            return a, xp, xm, yp, ym
+
+        du_ref[:] = jnp.zeros((hb, wb), jnp.float32)
+        dv_ref[:] = jnp.zeros((hb, wb), jnp.float32)
+
+        def sweep_from_shifts(du_sh, dv_sh, dst_du, dst_dv):
+            sdu_c, sdu_xp, sdu_xm, sdu_yp, sdu_ym = du_sh
+            sdv_c, sdv_xp, sdv_xm, sdv_yp, sdv_ym = dv_sh
+            pw_xp = pwxp_ref[:]
+            pw_yp = pwyp_ref[:]
+            if pw_mode == "four":
+                pw_xm = pwxm_ref[:]
+                pw_ym = pwym_ref[:]
+            else:
+                pw_xm = _derive_pw_xm(pw_xp, xs)
+                pw_ym = _derive_pw_ym_full(pw_yp, ys)
+            sdu = (
+                pw_xp * sdu_xp + pw_xm * sdu_xm + pw_yp * sdu_yp
+                + pw_ym * sdu_ym
+            )
+            sdv = (
+                pw_xp * sdv_xp + pw_xm * sdv_xm + pw_yp * sdv_yp
+                + pw_ym * sdv_ym
+            )
+            new_du = (bu_ref[:] - a12_ref[:] * sdv_c + sdu) / dnu_ref[:]
+            new_dv = (bv_ref[:] - a12_ref[:] * new_du + sdv) / dnv_ref[:]
+            dst_du[:] = new_du
+            dst_dv[:] = new_dv
+
+        def prologue(src_du_ref, src_dv_ref):
+            du_sh = sh(src_du_ref[:])
+            dv_sh = sh(src_dv_ref[:])
+            du_c, du_xp, du_xm, du_yp, du_ym = du_sh
+            dv_c, dv_xp, dv_xm, dv_yp, dv_ym = dv_sh
+            u_c, u_xp, u_xm, u_yp, u_ym = sh(u_ref[:])
+            v_c, v_xp, v_xm, v_yp, v_ym = sh(v_ref[:])
+            # phi: SEPARATE u/du shifts — bit-identical to
+            # compute_phi_ksi_dyn (solve_2d.cu:141-162).
+            dux = (u_xp - u_xm + du_xp - du_xm) / d2x
+            duy = (u_yp - u_ym + du_yp - du_ym) / d2y
+            dvx = (v_xp - v_xm + dv_xp - dv_xm) / d2x
+            dvy = (v_yp - v_ym + dv_yp - dv_ym) / d2y
+            phi = 1.0 / (
+                2.0 * jnp.sqrt(dux * dux + duy * duy + dvx * dvx
+                               + dvy * dvy + e_s2)
+            )
+            # No ghost maintenance of phi: its only consumers are the pw
+            # products, whose free-boundary weights vanish at the valid
+            # edge, so ghost phi never reaches a valid pixel (same
+            # argument as the chunked T-iterate kernel).
+            phi_c, phi_xp_n, phi_xm_n, phi_yp_n, phi_ym_n = sh(phi)
+            xp_w = jnp.where(xs < cwv - 1, axv, 0.0)
+            xm_w = jnp.where(xs > 0, axv, 0.0)
+            yp_w = jnp.where((ys < chv - 1), ayv, 0.0)
+            ym_w = jnp.where(ys > 0, ayv, 0.0)
+            pw_xp = (phi_xp_n + phi_c) * 0.5 * xp_w
+            pw_xm = (phi_xm_n + phi_c) * 0.5 * xm_w
+            pw_yp = (phi_yp_n + phi_c) * 0.5 * yp_w
+            pw_ym = (phi_ym_n + phi_c) * 0.5 * ym_w
+            pwxp_ref[:] = pw_xp
+            pwyp_ref[:] = pw_yp
+            if pw_mode == "four":
+                pwxm_ref[:] = pw_xm
+                pwym_ref[:] = pw_ym
+            sumH = pw_xp + pw_xm + pw_yp + pw_ym
+
+            fxc = const_refs[0][:]
+            fyc = const_refs[1][:]
+            ftc = const_refs[2][:]
+            sq = (
+                (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
+                + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
+                + (fxc * ftc * du_c + fyc * ftc * dv_c + ftc * ftc)
+            )
+            ksi = 1.0 / (2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2))
+            if grey:
+                J11, J22 = fxc * fxc, fyc * fyc
+                J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
+            else:
+                J11 = const_refs[3][:]
+                J22 = const_refs[4][:]
+                J12 = const_refs[5][:]
+                J13 = const_refs[6][:]
+                J23 = const_refs[7][:]
+            cu = (
+                pw_xp * (u_xp - u_c) + pw_xm * (u_xm - u_c)
+                + pw_yp * (u_yp - u_c) + pw_ym * (u_ym - u_c)
+            )
+            cv = (
+                pw_xp * (v_xp - v_c) + pw_xm * (v_xm - v_c)
+                + pw_yp * (v_yp - v_c) + pw_ym * (v_ym - v_c)
+            )
+            a12_ref[:] = ksi * J12
+            bu_ref[:] = -(ksi * J13) + cu
+            bv_ref[:] = -(ksi * J23) + cv
+            dnu_ref[:] = ksi * J11 + sumH
+            dnv_ref[:] = ksi * J22 + sumH
+            return du_sh, dv_sh
+
+        def outer_pass(src_du, src_dv, alt_du, alt_dv):
+            maintain1(src_du)
+            maintain1(src_dv)
+            du_sh, dv_sh = prologue(src_du, src_dv)
+            sweep_from_shifts(du_sh, dv_sh, alt_du, alt_dv)  # reuse shifts
+            for j in range(1, inner):
+                if j % 2 == 1:
+                    s_du, s_dv, d_du, d_dv = alt_du, alt_dv, src_du, src_dv
+                else:
+                    s_du, s_dv, d_du, d_dv = src_du, src_dv, alt_du, alt_dv
+                sweep_from_shifts(sh(s_du[:]), sh(s_dv[:]), d_du, d_dv)
+
+        flips = inner % 2 == 1
+        n_outer = cfg.outer_iterations_count
+
+        if flips:
+
+            def outer_pair(_, carry):
+                outer_pass(du_ref, dv_ref, dub_ref, dvb_ref)
+                outer_pass(dub_ref, dvb_ref, du_ref, dv_ref)
+                return carry
+
+            jax.lax.fori_loop(0, n_outer // 2, outer_pair, 0)
+            if n_outer % 2 == 1:
+                outer_pass(du_ref, dv_ref, dub_ref, dvb_ref)
+                du_ref[:] = dub_ref[:]
+                dv_ref[:] = dvb_ref[:]
+        else:
+
+            def outer_single(_, carry):
+                outer_pass(du_ref, dv_ref, dub_ref, dvb_ref)
+                return carry
+
+            jax.lax.fori_loop(0, n_outer, outer_single, 0)
+
+    field = lambda: pltpu.VMEM((hb, wb), jnp.float32)  # noqa: E731
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    total = cfg.outer_iterations_count * (inner + 1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((hb, wb), jnp.float32),
+            jax.ShapeDtypeStruct((hb, wb), jnp.float32),
+        ),
+        in_specs=(
+            [smem()] * 6
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_const)
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[field() for _ in range(11)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=55 * hb * wb * total,
+            bytes_accessed=(6 + n_const) * 4 * hb * wb,
+            transcendentals=2 * hb * wb * cfg.outer_iterations_count,
+        ),
+        interpret=interpret,
+    )(*smem_i, *smem_f, u, v, *consts)
+
+
+def _relax_du_chunked(
+    fx, fy, ft, u, v, scalars, cfg: FlowConfig, *,
+    tensor: Optional[tuple] = None, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunked du-iterate variant for buckets whose full working set
+    exceeds VMEM (1080p-class fine levels).
+
+    Persistent VMEM: du, dv (the outputs, iterated IN PLACE) + pw_xp,
+    pw_yp, a12, bu, bv, dnu, dnv — 9 fields vs the T-iterate chunked
+    variant's 12. u, v and the level constants live in HBM and stream
+    through chunk windows once per OUTER (the prologue is their only
+    consumer). Sweeps run in place over row chunks top-to-bottom: the
+    Jacobi read of the already-overwritten row s-1 comes from a saved
+    stash of each chunk's original last row, so no ping-pong buffers are
+    needed at all. The chunk height is the largest that fits VMEM
+    (du_chunk_rows): the 9-field trim's real payoff is FEWER, LARGER
+    chunks — the chunk-loop/slab-assembly overhead is per-chunk, and the
+    field trim alone measured only ~2.5% at 1080p.
+    """
+    hb, wb = u.shape
+    grey = cfg.data_constancy == DataConstancy.GREY
+    if not grey:
+        assert tensor is not None and len(tensor) == 5
+    consts = (fx, fy, ft) if grey else (fx, fy, ft, *tensor)
+    n_const = len(consts)
+    C = du_chunk_rows(hb, wb, cfg)
+    assert C is not None, (hb, wb)
+    n_full, rem = hb // C, hb % C
+    inner = cfg.inner_iterations_count
+    F = np.float32
+    e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
+    e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
+    smem_i, smem_f = _smem_args(scalars)
+
+    def kernel(*refs):
+        (cw_ref, ch_ref, d2x_ref, d2y_ref, ax_ref, ay_ref,
+         u_hbm, v_hbm) = refs[:8]
+        const_refs = refs[8:8 + n_const]     # HBM
+        (du_ref, dv_ref,                     # outputs, iterated in place
+         pwxp_ref, pwyp_ref,
+         a12_ref, bu_ref, bv_ref, dnu_ref, dnv_ref,
+         ubuf, vbuf, cbuf, stash, sem) = refs[8 + n_const:]
+        cwv = cw_ref[0, 0]
+        chv = ch_ref[0, 0]
+        d2x = d2x_ref[0, 0]
+        d2y = d2y_ref[0, 0]
+        axv = ax_ref[0, 0]
+        ayv = ay_ref[0, 0]
+
+        def maintain1(ref):
+            ys = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+            val = ref[:]
+            rolled_r = pltpu.roll(val, 2, 0)
+            val = jnp.where(ys == chv, rolled_r, val)
+            rolled_c = pltpu.roll(val, 2, 1)
+            ref[:] = jnp.where(xs == cwv, rolled_c, val)
+
+        def starts(s, cc):
+            top_start = pl.multiple_of(jnp.maximum(s - 8, 0), 8)
+            bot_start = pl.multiple_of(jnp.minimum(s + cc, hb - 8), 8)
+            return top_start, bot_start
+
+        def slab4(ref, i, s, cc, top_start, bot_start):
+            """(cc+4, wb): virtual rows [s-2, s+cc+2) of a VMEM field,
+            with full-field `_shifts` mirror at the global top
+            (vr -2 -> 2, vr -1 -> 1) and finite don't-care rows past the
+            bucket bottom."""
+            top_block = ref[pl.ds(top_start, 8), :]
+            r0 = jnp.where(i == 0, top_block[2:3, :], top_block[6:7, :])
+            r1 = jnp.where(i == 0, top_block[1:2, :], top_block[7:8, :])
+            mid = ref[pl.ds(s, cc), :]
+            bot_block = ref[pl.ds(bot_start, 8), :]
+            return jnp.concatenate(
+                [r0, r1, mid, bot_block[0:1, :], bot_block[1:2, :]], axis=0
+            )
+
+        def slab4_buf(buf, i, cc):
+            """Same row map over a staging buffer holding
+            [top 8-block, mid cc rows, bottom 8-block]."""
+            r0 = jnp.where(i == 0, buf[2:3, :], buf[6:7, :])
+            r1 = jnp.where(i == 0, buf[1:2, :], buf[7:8, :])
+            return jnp.concatenate(
+                [r0, r1, buf[8:8 + cc, :],
+                 buf[8 + cc:9 + cc, :], buf[9 + cc:10 + cc, :]],
+                axis=0,
+            )
+
+        def sh4(slab):
+            """center/x+1/x-1/y+1/y-1 on rows [s-1, s+cc+1) of a
+            (cc+4, wb) slab — (cc+2, wb) each, matching the full-field
+            `_shifts` inside the bucket."""
+            c = slab[1:-1, :]
+            return c, _shift_xp(c), _shift_xm(c), slab[2:, :], slab[:-2, :]
+
+        def chunk_coords(s, rows):
+            gys = jax.lax.broadcasted_iota(jnp.int32, (rows, wb), 0) + s
+            gxs = jax.lax.broadcasted_iota(jnp.int32, (rows, wb), 1)
+            return gys, gxs
+
+        def prologue_at(i, s, cc):
+            """phi/pw/terms for rows [s, s+cc) — cc is static per call
+            site (the main fori body uses C; the remainder chunk rem)."""
+            top_start, bot_start = starts(s, cc)
+            copies = [
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(top_start, 8), :], ubuf.at[0:8, :],
+                    sem.at[0]),
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(s, cc), :], ubuf.at[8:8 + cc, :],
+                    sem.at[1]),
+                pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(bot_start, 8), :],
+                    ubuf.at[8 + cc:16 + cc, :], sem.at[2]),
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(top_start, 8), :], vbuf.at[0:8, :],
+                    sem.at[3]),
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(s, cc), :], vbuf.at[8:8 + cc, :],
+                    sem.at[4]),
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(bot_start, 8), :],
+                    vbuf.at[8 + cc:16 + cc, :], sem.at[5]),
+            ] + [
+                pltpu.make_async_copy(
+                    const_refs[k].at[pl.ds(s, cc), :], cbuf.at[k, 0:cc, :],
+                    sem.at[6 + k])
+                for k in range(n_const)
+            ]
+            for cp in copies:
+                cp.start()
+
+            # du/dv slabs from VMEM while the DMAs fly.
+            du_s = slab4(du_ref, i, s, cc, top_start, bot_start)
+            dv_s = slab4(dv_ref, i, s, cc, top_start, bot_start)
+            du_c4, du_xp, du_xm, du_yp, du_ym = sh4(du_s)
+            dv_c4, dv_xp, dv_xm, dv_yp, dv_ym = sh4(dv_s)
+
+            for cp in copies:
+                cp.wait()
+            u_s = slab4_buf(ubuf, i, cc)
+            v_s = slab4_buf(vbuf, i, cc)
+            u_c4, u_xp, u_xm, u_yp, u_ym = sh4(u_s)
+            v_c4, v_xp, v_xm, v_yp, v_ym = sh4(v_s)
+
+            # phi on rows [s-1, s+cc] — separate u/du shifts, exactly
+            # compute_phi_ksi_dyn (solve_2d.cu:141-162).
+            dux = (u_xp - u_xm + du_xp - du_xm) / d2x
+            duy = (u_yp - u_ym + du_yp - du_ym) / d2y
+            dvx = (v_xp - v_xm + dv_xp - dv_xm) / d2x
+            dvy = (v_yp - v_ym + dv_yp - dv_ym) / d2y
+            phi_pad = 1.0 / (
+                2.0 * jnp.sqrt(dux * dux + duy * duy + dvx * dvx
+                               + dvy * dvy + e_s2)
+            )
+
+            phi_c = phi_pad[1:-1, :]
+            phi_xp_n = _shift_xp(phi_c)
+            phi_xm_n = _shift_xm(phi_c)
+            phi_yp_n = phi_pad[2:, :]
+            phi_ym_n = phi_pad[:-2, :]
+            gys, gxs = chunk_coords(s, cc)
+            xp_w = jnp.where(gxs < cwv - 1, axv, 0.0)
+            xm_w = jnp.where(gxs > 0, axv, 0.0)
+            yp_w = jnp.where(gys < chv - 1, ayv, 0.0)
+            ym_w = jnp.where(gys > 0, ayv, 0.0)
+            pw_xp = (phi_xp_n + phi_c) * 0.5 * xp_w
+            pw_xm = (phi_xm_n + phi_c) * 0.5 * xm_w
+            pw_yp = (phi_yp_n + phi_c) * 0.5 * yp_w
+            pw_ym = (phi_ym_n + phi_c) * 0.5 * ym_w
+            ds = pl.ds(s, cc)
+            pwxp_ref[ds, :] = pw_xp
+            pwyp_ref[ds, :] = pw_yp
+            sumH = pw_xp + pw_xm + pw_yp + pw_ym
+
+            du_c = du_s[2:2 + cc, :]
+            dv_c = dv_s[2:2 + cc, :]
+            fxc, fyc, ftc = cbuf[0, 0:cc, :], cbuf[1, 0:cc, :], cbuf[2, 0:cc, :]
+            sq = (
+                (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
+                + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
+                + (fxc * ftc * du_c + fyc * ftc * dv_c + ftc * ftc)
+            )
+            ksi = 1.0 / (2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2))
+            if grey:
+                J11, J22 = fxc * fxc, fyc * fyc
+                J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
+            else:
+                J11, J22, J12, J13, J23 = (
+                    cbuf[3, 0:cc, :], cbuf[4, 0:cc, :], cbuf[5, 0:cc, :],
+                    cbuf[6, 0:cc, :], cbuf[7, 0:cc, :]
+                )
+            u_c = u_s[2:2 + cc, :]
+            v_c = v_s[2:2 + cc, :]
+            cu = (
+                pw_xp * (u_xp[1:-1, :] - u_c) + pw_xm * (u_xm[1:-1, :] - u_c)
+                + pw_yp * (u_s[3:3 + cc, :] - u_c)
+                + pw_ym * (u_s[1:1 + cc, :] - u_c)
+            )
+            cv = (
+                pw_xp * (v_xp[1:-1, :] - v_c) + pw_xm * (v_xm[1:-1, :] - v_c)
+                + pw_yp * (v_s[3:3 + cc, :] - v_c)
+                + pw_ym * (v_s[1:1 + cc, :] - v_c)
+            )
+            a12_ref[ds, :] = ksi * J12
+            bu_ref[ds, :] = -(ksi * J13) + cu
+            bv_ref[ds, :] = -(ksi * J23) + cv
+            dnu_ref[ds, :] = ksi * J11 + sumH
+            dnv_ref[ds, :] = ksi * J22 + sumH
+
+        def sweep_at(i, s, cc):
+            top_start, bot_start = starts(s, cc)
+            ds = pl.ds(s, cc)
+
+            def slab2(ref, stash_row):
+                """(cc+2, wb): rows [s-1, s+cc]; row s-1 comes from the
+                stash (chunk i-1 already overwrote it in place) or the
+                global-top mirror."""
+                top_block = ref[pl.ds(top_start, 8), :]
+                top = jnp.where(i == 0, top_block[1:2, :], stash_row)
+                mid = ref[pl.ds(s, cc), :]
+                bot = ref[pl.ds(bot_start, 8), :][0:1, :]
+                return jnp.concatenate([top, mid, bot], axis=0)
+
+            du_s = slab2(du_ref, stash[0:1, :])
+            dv_s = slab2(dv_ref, stash[1:2, :])
+            # Original last rows of this chunk: chunk i+1's halo.
+            new_stash_du = du_s[cc:cc + 1, :]
+            new_stash_dv = dv_s[cc:cc + 1, :]
+
+            du_c = du_s[1:-1, :]
+            dv_c = dv_s[1:-1, :]
+            du_xp = _shift_xp(du_c)
+            du_xm = _shift_xm(du_c)
+            dv_xp = _shift_xp(dv_c)
+            dv_xm = _shift_xm(dv_c)
+            du_yp = du_s[2:, :]
+            du_ym = du_s[:-2, :]
+            dv_yp = dv_s[2:, :]
+            dv_ym = dv_s[:-2, :]
+
+            gys, gxs = chunk_coords(s, cc)
+            pw_xp = pwxp_ref[ds, :]
+            pw_xm = _derive_pw_xm(pw_xp, gxs)
+            top_p = pwyp_ref[pl.ds(top_start, 8), :]
+            top_p = jnp.where(i == 0, top_p[0:1, :], top_p[7:8, :])
+            pw_yp = pwyp_ref[ds, :]
+            pw_ym = jnp.where(
+                gys == 0,
+                jnp.float32(0.0),
+                jnp.concatenate([top_p, pw_yp[:-1, :]], axis=0),
+            )
+
+            sdu = pw_xp * du_xp + pw_xm * du_xm + pw_yp * du_yp + pw_ym * du_ym
+            sdv = pw_xp * dv_xp + pw_xm * dv_xm + pw_yp * dv_yp + pw_ym * dv_ym
+            new_du = (bu_ref[ds, :] - a12_ref[ds, :] * dv_c + sdu) / dnu_ref[ds, :]
+            new_dv = (bv_ref[ds, :] - a12_ref[ds, :] * new_du + sdv) / dnv_ref[ds, :]
+            du_ref[ds, :] = new_du
+            dv_ref[ds, :] = new_dv
+            stash[0:1, :] = new_stash_du
+            stash[1:2, :] = new_stash_dv
+
+        def prologue_chunk(i, carry):
+            prologue_at(i, pl.multiple_of(i * C, 8), C)
+            return carry
+
+        def sweep_chunk(i, carry):
+            sweep_at(i, pl.multiple_of(i * C, 8), C)
+            return carry
+
+        du_ref[:] = jnp.zeros((hb, wb), jnp.float32)
+        dv_ref[:] = jnp.zeros((hb, wb), jnp.float32)
+
+        def outer_body(_, carry):
+            maintain1(du_ref)
+            maintain1(dv_ref)
+            jax.lax.fori_loop(0, n_full, prologue_chunk, 0)
+            if rem:
+                prologue_at(n_full, n_full * C, rem)
+            for _j in range(inner):
+                jax.lax.fori_loop(0, n_full, sweep_chunk, 0)
+                if rem:
+                    sweep_at(n_full, n_full * C, rem)
+            return carry
+
+        jax.lax.fori_loop(0, cfg.outer_iterations_count, outer_body, 0)
+
+    field = lambda: pltpu.VMEM((hb, wb), jnp.float32)  # noqa: E731
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    total = cfg.outer_iterations_count * (inner + 1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((hb, wb), jnp.float32),
+            jax.ShapeDtypeStruct((hb, wb), jnp.float32),
+        ),
+        in_specs=(
+            [smem()] * 6
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (2 + n_const)
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[field() for _ in range(7)]
+        + [
+            pltpu.VMEM((C + 16, wb), jnp.float32),   # ubuf
+            pltpu.VMEM((C + 16, wb), jnp.float32),   # vbuf
+            pltpu.VMEM((n_const, C, wb), jnp.float32),
+            pltpu.VMEM((2, wb), jnp.float32),            # stash
+            pltpu.SemaphoreType.DMA((6 + n_const,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        cost_estimate=pl.CostEstimate(
+            flops=55 * hb * wb * total,
+            bytes_accessed=(
+                (4 + (2 + n_const) * cfg.outer_iterations_count)
+                * 4 * hb * wb
+            ),
+            transcendentals=2 * hb * wb * cfg.outer_iterations_count,
+        ),
+        interpret=interpret,
+    )(*smem_i, *smem_f, u, v, *consts)
+
+
+def _relax_du_streamed(
+    fx, fy, ft, u, v, scalars, cfg: FlowConfig, *,
+    tensor: Optional[tuple] = None, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """HBM-resident du-iterate variant: the any-size kernel (4K-class
+    fine buckets, reference contract optical_flow_2d.cpp:84-140).
+
+    EVERY field lives in HBM — the iterate (in place, stash-halo like the
+    chunked variant), the seven per-outer term fields (auxiliary kernel
+    outputs the caller discards), u, v and the constants. VMEM holds only
+    chunk windows: the prologue stages one chunk at a time (1 of inner+1
+    passes); the sweeps double-buffer their input slabs and output
+    chunks, so chunk i+1's loads overlap chunk i's compute and chunk i's
+    writeback overlaps chunk i+1 (the guide's two-slot DMA pipeline).
+
+    The iterate's valid-edge mirror ghosts cannot be maintained in place
+    in HBM (a dynamic-row DMA), so the prologue applies them VIRTUALLY
+    during slab assembly: the slab is read 2 rows wider at the top and
+    the mirror rows are substituted by a roll+select before use — the
+    only consumer of unmasked ghost values is the phi gradient, exactly
+    as in the other variants.
+    """
+    hb, wb = u.shape
+    grey = cfg.data_constancy == DataConstancy.GREY
+    if not grey:
+        assert tensor is not None and len(tensor) == 5
+    consts = (fx, fy, ft) if grey else (fx, fy, ft, *tensor)
+    n_const = len(consts)
+    C = streamed_chunk_rows(hb, wb, cfg)
+    assert C is not None, (hb, wb)
+    n_chunks = hb // C
+    inner = cfg.inner_iterations_count
+    F = np.float32
+    e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
+    e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
+    smem_i, smem_f = _smem_args(scalars)
+    du0 = jnp.zeros((hb, wb), jnp.float32)
+    dv0 = jnp.zeros((hb, wb), jnp.float32)
+
+    def kernel(*refs):
+        (cw_ref, ch_ref, d2x_ref, d2y_ref, ax_ref, ay_ref,
+         u_hbm, v_hbm, _du0, _dv0) = refs[:10]
+        const_refs = refs[10:10 + n_const]                # HBM
+        (du_hbm, dv_hbm,                                  # outputs (aliased
+         pwxp_hbm, pwyp_hbm,                              #  to du0/dv0)
+         a12_hbm, bu_hbm, bv_hbm, dnu_hbm, dnv_hbm) = refs[10 + n_const:
+                                                           19 + n_const]
+        (pbuf, cbuf, tbuf, sbuf, pwybuf, tin, obuf, stash,
+         sem_pin, sem_pout, sem_sin, sem_sout) = refs[19 + n_const:]
+        term_hbm = (pwxp_hbm, pwyp_hbm, a12_hbm, bu_hbm, bv_hbm,
+                    dnu_hbm, dnv_hbm)
+        cwv = cw_ref[0, 0]
+        chv = ch_ref[0, 0]
+        d2x = d2x_ref[0, 0]
+        d2y = d2y_ref[0, 0]
+        axv = ax_ref[0, 0]
+        ayv = ay_ref[0, 0]
+
+        def starts(s):
+            top_start = pl.multiple_of(jnp.maximum(s - 8, 0), 8)
+            bot_start = pl.multiple_of(jnp.minimum(s + C, hb - 8), 8)
+            return top_start, bot_start
+
+        def chunk_coords(s, rows, base=0):
+            gys = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, wb), 0) + s + base
+            )
+            gxs = jax.lax.broadcasted_iota(jnp.int32, (rows, wb), 1)
+            return gys, gxs
+
+        # ---- prologue: one staged chunk at a time --------------------
+        def slab6_maintained(buf, i, s):
+            """Virtual rows [s-4, s+C+2) of the iterate from its
+            (C+16) staging buffer, with the valid-edge mirror ghosts
+            substituted (row chv := chv-2, col cwv := cwv-2). Two extra
+            top rows guarantee the roll's source row is in-slab wherever
+            the row-select can fire; rows 0-1 are dropped after."""
+            rows = []
+            for k, vr_off in enumerate((-4, -3, -2, -1)):
+                idx_mirror = -vr_off          # vr -k -> row k
+                idx_real = 8 + vr_off         # top block holds [s-8, s)
+                rows.append(jnp.where(i == 0, buf[idx_mirror:idx_mirror + 1, :],
+                                      buf[idx_real:idx_real + 1, :]))
+            slab = jnp.concatenate(
+                rows + [buf[8:8 + C, :], buf[8 + C:9 + C, :],
+                        buf[9 + C:10 + C, :]], axis=0
+            )
+            gys, gxs = chunk_coords(s, C + 6, base=-4)
+            slab = jnp.where(gys == chv, pltpu.roll(slab, 2, 0), slab)
+            slab = jnp.where(gxs == cwv, pltpu.roll(slab, 2, 1), slab)
+            return slab[2:, :]                # (C+4, wb), vr s-2..
+
+        def slab4_buf(buf, i):
+            r0 = jnp.where(i == 0, buf[2:3, :], buf[6:7, :])
+            r1 = jnp.where(i == 0, buf[1:2, :], buf[7:8, :])
+            return jnp.concatenate(
+                [r0, r1, buf[8:8 + C, :],
+                 buf[8 + C:9 + C, :], buf[9 + C:10 + C, :]],
+                axis=0,
+            )
+
+        def sh4(slab):
+            c = slab[1:-1, :]
+            return c, _shift_xp(c), _shift_xm(c), slab[2:, :], slab[:-2, :]
+
+        def term_out_dmas(slot, s):
+            return [
+                pltpu.make_async_copy(
+                    tbuf.at[slot, k], term_hbm[k].at[pl.ds(s, C), :],
+                    sem_pout.at[slot, k])
+                for k in range(7)
+            ]
+
+        def prologue_chunk(i, carry):
+            s = pl.multiple_of(i * C, C)
+            slot = i % 2
+            top_start, bot_start = starts(s)
+            srcs = (u_hbm, v_hbm, du_hbm, dv_hbm)
+            copies = []
+            for k, src in enumerate(srcs):
+                copies += [
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(top_start, 8), :],
+                        pbuf.at[k, 0:8, :], sem_pin.at[3 * k]),
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(s, C), :],
+                        pbuf.at[k, 8:8 + C, :], sem_pin.at[3 * k + 1]),
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(bot_start, 8), :],
+                        pbuf.at[k, 8 + C:16 + C, :],
+                        sem_pin.at[3 * k + 2]),
+                ]
+            copies += [
+                pltpu.make_async_copy(
+                    const_refs[k].at[pl.ds(s, C), :], cbuf.at[k],
+                    sem_pin.at[12 + k])
+                for k in range(n_const)
+            ]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            u_s = slab4_buf(pbuf[0], i)
+            v_s = slab4_buf(pbuf[1], i)
+            du_s = slab6_maintained(pbuf[2], i, s)
+            dv_s = slab6_maintained(pbuf[3], i, s)
+            u_c4, u_xp, u_xm, u_yp, u_ym = sh4(u_s)
+            v_c4, v_xp, v_xm, v_yp, v_ym = sh4(v_s)
+            du_c4, du_xp, du_xm, du_yp, du_ym = sh4(du_s)
+            dv_c4, dv_xp, dv_xm, dv_yp, dv_ym = sh4(dv_s)
+
+            dux = (u_xp - u_xm + du_xp - du_xm) / d2x
+            duy = (u_yp - u_ym + du_yp - du_ym) / d2y
+            dvx = (v_xp - v_xm + dv_xp - dv_xm) / d2x
+            dvy = (v_yp - v_ym + dv_yp - dv_ym) / d2y
+            phi_pad = 1.0 / (
+                2.0 * jnp.sqrt(dux * dux + duy * duy + dvx * dvx
+                               + dvy * dvy + e_s2)
+            )
+            phi_c = phi_pad[1:-1, :]
+            phi_xp_n = _shift_xp(phi_c)
+            phi_xm_n = _shift_xm(phi_c)
+            phi_yp_n = phi_pad[2:, :]
+            phi_ym_n = phi_pad[:-2, :]
+            gys, gxs = chunk_coords(s, C)
+            xp_w = jnp.where(gxs < cwv - 1, axv, 0.0)
+            xm_w = jnp.where(gxs > 0, axv, 0.0)
+            yp_w = jnp.where(gys < chv - 1, ayv, 0.0)
+            ym_w = jnp.where(gys > 0, ayv, 0.0)
+            pw_xp = (phi_xp_n + phi_c) * 0.5 * xp_w
+            pw_xm = (phi_xm_n + phi_c) * 0.5 * xm_w
+            pw_yp = (phi_yp_n + phi_c) * 0.5 * yp_w
+            pw_ym = (phi_ym_n + phi_c) * 0.5 * ym_w
+            sumH = pw_xp + pw_xm + pw_yp + pw_ym
+
+            du_c = du_s[2:2 + C, :]
+            dv_c = dv_s[2:2 + C, :]
+            fxc, fyc, ftc = cbuf[0], cbuf[1], cbuf[2]
+            sq = (
+                (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
+                + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
+                + (fxc * ftc * du_c + fyc * ftc * dv_c + ftc * ftc)
+            )
+            ksi = 1.0 / (2.0 * jnp.sqrt(jnp.maximum(sq, 0.0) + e_d2))
+            if grey:
+                J11, J22 = fxc * fxc, fyc * fyc
+                J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
+            else:
+                J11, J22, J12, J13, J23 = (
+                    cbuf[3], cbuf[4], cbuf[5], cbuf[6], cbuf[7]
+                )
+            u_c = u_s[2:2 + C, :]
+            v_c = v_s[2:2 + C, :]
+            cu = (
+                pw_xp * (u_xp[1:-1, :] - u_c) + pw_xm * (u_xm[1:-1, :] - u_c)
+                + pw_yp * (u_s[3:3 + C, :] - u_c)
+                + pw_ym * (u_s[1:1 + C, :] - u_c)
+            )
+            cv = (
+                pw_xp * (v_xp[1:-1, :] - v_c) + pw_xm * (v_xm[1:-1, :] - v_c)
+                + pw_yp * (v_s[3:3 + C, :] - v_c)
+                + pw_ym * (v_s[1:1 + C, :] - v_c)
+            )
+            # Wait for this slot's previous term writeback (chunk i-2)
+            # before overwriting the staging buffer.
+            @pl.when(i >= 2)
+            def _():
+                for cp in term_out_dmas(slot, (i - 2) * C):
+                    cp.wait()
+
+            tbuf[slot, 0] = pw_xp
+            tbuf[slot, 1] = pw_yp
+            tbuf[slot, 2] = ksi * J12
+            tbuf[slot, 3] = -(ksi * J13) + cu
+            tbuf[slot, 4] = -(ksi * J23) + cv
+            tbuf[slot, 5] = ksi * J11 + sumH
+            tbuf[slot, 6] = ksi * J22 + sumH
+            for cp in term_out_dmas(slot, s):
+                cp.start()
+            return carry
+
+        # ---- sweeps: double-buffered in/out chunk pipeline -----------
+        def sweep_in_dmas(slot, i, s):
+            top_start, bot_start = starts(s)
+            dmas = []
+            for k, src in enumerate((du_hbm, dv_hbm)):
+                dmas += [
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(s, C), :],
+                        sbuf.at[slot, k, 0:C, :], sem_sin.at[slot, 2 * k]),
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(bot_start, 8), :],
+                        sbuf.at[slot, k, C:C + 8, :],
+                        sem_sin.at[slot, 2 * k + 1]),
+                ]
+            dmas += [
+                pltpu.make_async_copy(
+                    pwyp_hbm.at[pl.ds(top_start, 8), :],
+                    pwybuf.at[slot, 0:8, :], sem_sin.at[slot, 4]),
+                pltpu.make_async_copy(
+                    pwyp_hbm.at[pl.ds(s, C), :],
+                    pwybuf.at[slot, 8:8 + C, :], sem_sin.at[slot, 5]),
+            ]
+            others = (pwxp_hbm, a12_hbm, bu_hbm, bv_hbm, dnu_hbm, dnv_hbm)
+            dmas += [
+                pltpu.make_async_copy(
+                    others[k].at[pl.ds(s, C), :], tin.at[slot, k],
+                    sem_sin.at[slot, 6 + k])
+                for k in range(6)
+            ]
+            return dmas
+
+        def sweep_out_dmas(slot, s):
+            return [
+                pltpu.make_async_copy(
+                    obuf.at[slot, 0], du_hbm.at[pl.ds(s, C), :],
+                    sem_sout.at[slot, 0]),
+                pltpu.make_async_copy(
+                    obuf.at[slot, 1], dv_hbm.at[pl.ds(s, C), :],
+                    sem_sout.at[slot, 1]),
+            ]
+
+        def sweep_chunk(i, carry):
+            s = pl.multiple_of(i * C, C)
+            slot = i % 2
+            for cp in sweep_in_dmas(slot, i, s):
+                cp.wait()
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                s_n = pl.multiple_of((i + 1) * C, C)
+                for cp in sweep_in_dmas((i + 1) % 2, i + 1, s_n):
+                    cp.start()
+
+            def slab2(k, stash_row):
+                mid = sbuf[slot, k, 0:C, :]
+                top = jnp.where(i == 0, mid[1:2, :], stash_row)
+                bot = sbuf[slot, k, C:C + 1, :]
+                return jnp.concatenate([top, mid, bot], axis=0)
+
+            du_s = slab2(0, stash[0:1, :])
+            dv_s = slab2(1, stash[1:2, :])
+            new_stash_du = du_s[C:C + 1, :]
+            new_stash_dv = dv_s[C:C + 1, :]
+
+            du_c = du_s[1:-1, :]
+            dv_c = dv_s[1:-1, :]
+            gys, gxs = chunk_coords(s, C)
+            pw_xp = tin[slot, 0]
+            pw_xm = _derive_pw_xm(pw_xp, gxs)
+            top_p = jnp.where(i == 0, pwybuf[slot, 0:1, :],
+                              pwybuf[slot, 7:8, :])
+            pw_yp = pwybuf[slot, 8:8 + C, :]
+            pw_ym = jnp.where(
+                gys == 0, jnp.float32(0.0),
+                jnp.concatenate([top_p, pw_yp[:-1, :]], axis=0),
+            )
+            sdu = (
+                pw_xp * _shift_xp(du_c) + pw_xm * _shift_xm(du_c)
+                + pw_yp * du_s[2:, :] + pw_ym * du_s[:-2, :]
+            )
+            sdv = (
+                pw_xp * _shift_xp(dv_c) + pw_xm * _shift_xm(dv_c)
+                + pw_yp * dv_s[2:, :] + pw_ym * dv_s[:-2, :]
+            )
+            a12 = tin[slot, 1]
+            new_du = (tin[slot, 2] - a12 * dv_c + sdu) / tin[slot, 4]
+            new_dv = (tin[slot, 3] - a12 * new_du + sdv) / tin[slot, 5]
+
+            @pl.when(i >= 2)
+            def _():
+                for cp in sweep_out_dmas(slot, (i - 2) * C):
+                    cp.wait()
+
+            obuf[slot, 0] = new_du
+            obuf[slot, 1] = new_dv
+            for cp in sweep_out_dmas(slot, s):
+                cp.start()
+            stash[0:1, :] = new_stash_du
+            stash[1:2, :] = new_stash_dv
+            return carry
+
+        def outer_body(o, carry):
+            jax.lax.fori_loop(0, n_chunks, prologue_chunk, 0)
+            # Barrier: both slots' trailing term writebacks must land
+            # before the sweeps read the term fields.
+            for tail in range(max(0, n_chunks - 2), n_chunks):
+                for cp in term_out_dmas(tail % 2, tail * C):
+                    cp.wait()
+            for _j in range(inner):
+                for cp in sweep_in_dmas(0, 0, 0):
+                    cp.start()
+                jax.lax.fori_loop(0, n_chunks, sweep_chunk, 0)
+                # Barrier: trailing iterate writebacks before the next
+                # sweep's (or prologue's) reads.
+                for tail in range(max(0, n_chunks - 2), n_chunks):
+                    for cp in sweep_out_dmas(tail % 2, tail * C):
+                        cp.wait()
+            return carry
+
+        jax.lax.fori_loop(0, cfg.outer_iterations_count, outer_body, 0)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    any_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)  # noqa: E731
+    total = cfg.outer_iterations_count * (inner + 1)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((hb, wb), jnp.float32) for _ in range(9)
+        ),
+        in_specs=([smem()] * 6 + [any_spec()] * (4 + n_const)),
+        out_specs=tuple(any_spec() for _ in range(9)),
+        # du/dv iterate in place over the zero-initialized aliases.
+        input_output_aliases={8: 0, 9: 1},
+        scratch_shapes=[
+            pltpu.VMEM((4, C + 16, wb), jnp.float32),     # pbuf
+            pltpu.VMEM((n_const, C, wb), jnp.float32),    # cbuf
+            pltpu.VMEM((2, 7, C, wb), jnp.float32),       # tbuf
+            pltpu.VMEM((2, 2, C + 8, wb), jnp.float32),   # sbuf
+            pltpu.VMEM((2, C + 8, wb), jnp.float32),      # pwybuf
+            pltpu.VMEM((2, 6, C, wb), jnp.float32),       # tin
+            pltpu.VMEM((2, 2, C, wb), jnp.float32),       # obuf
+            pltpu.VMEM((2, wb), jnp.float32),                 # stash
+            pltpu.SemaphoreType.DMA((12 + n_const,)),         # sem_pin
+            pltpu.SemaphoreType.DMA((2, 7)),                  # sem_pout
+            pltpu.SemaphoreType.DMA((2, 12)),                 # sem_sin
+            pltpu.SemaphoreType.DMA((2, 2)),                  # sem_sout
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=55 * hb * wb * total,
+            bytes_accessed=11 * 4 * hb * wb * total,
+            transcendentals=2 * hb * wb * cfg.outer_iterations_count,
+        ),
+        interpret=interpret,
+    )(*smem_i, *smem_f, u, v, du0, dv0, *consts)
+    return out[0], out[1]

@@ -332,20 +332,26 @@ def warp_dyn(f0, f1, u, v, cw, ch, inv_hx, inv_hy, wlim, hlim):
 
 
 def _pallas_relax_wanted(hb: int, wb: int, cfg: FlowConfig) -> bool:
-    """Use the VMEM-resident Pallas kernel when on TPU and the bucket's
-    working set fits VMEM (tpuflow.ops.pallas.relax_bucket). One kernel
-    launch replaces ~240 fused XLA stencil passes per level."""
+    """Use a Pallas relaxation kernel when on TPU and any variant's gate
+    admits the bucket: the T-iterate kernels (relax_bucket — full or
+    chunked), or the du-iterate family (relax_du — chunked for
+    1080p-class, HBM-streamed for 4K-class, i.e. any aligned size)."""
     import os
 
     if os.environ.get("TPUFLOW_DISABLE_PALLAS") == "1":
         return False
     from tpuflow.ops.pallas.relax_bucket import relax_bucket_supported
+    from tpuflow.ops.pallas.relax_du import relax_du_supported
 
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         platform = "cpu"
-    return platform == "tpu" and relax_bucket_supported(hb, wb, cfg)
+    if platform != "tpu":
+        return False
+    if os.environ.get("TPUFLOW_DU_ITERATE", "1") == "0":
+        return relax_bucket_supported(hb, wb, cfg)
+    return relax_bucket_supported(hb, wb, cfg) or relax_du_supported(hb, wb, cfg)
 
 
 def level_constants(f0_l, f1_w, sc, cfg: FlowConfig):
@@ -465,6 +471,30 @@ def _relax_dyn(f0_l, f1_w, u, v, sc, cfg: FlowConfig, use_pallas=None):
                 zero.at[:hb_eff, :wb_eff].set(du_t),
                 zero.at[:hb_eff, :wb_eff].set(dv_t),
             )
+        if fits_full(hb, wb, cfg):
+            return relax_bucket_fused(fx, fy, ft, u, v, sc, cfg, tensor=tensor,
+                                      force_mode="full")
+        # Beyond the full variant's VMEM gate: the du-iterate family —
+        # chunked (9 persistent fields, largest-fitting chunk height) for
+        # 1080p-class buckets, HBM-streamed for 4K-class (the measured
+        # order: du-chunked ~3-7% over T-chunked at 1080p; streamed
+        # ~1.2-1.45x over the old XLA fallback at 4K; BASELINE.md).
+        # TPUFLOW_DU_ITERATE=0 reverts to the T-iterate chunked kernel.
+        import os
+
+        from tpuflow.ops.pallas.relax_bucket import relax_bucket_supported
+        from tpuflow.ops.pallas.relax_du import (
+            fits_du_chunked, relax_du_fused, streamed_supported,
+        )
+
+        if os.environ.get("TPUFLOW_DU_ITERATE", "1") != "0":
+            if fits_du_chunked(hb, wb, cfg):
+                return relax_du_fused(fx, fy, ft, u, v, sc, cfg,
+                                      tensor=tensor, force_mode="chunked")
+            if not relax_bucket_supported(hb, wb, cfg) and streamed_supported(
+                    hb, wb, cfg):
+                return relax_du_fused(fx, fy, ft, u, v, sc, cfg,
+                                      tensor=tensor, force_mode="streamed")
         return relax_bucket_fused(fx, fy, ft, u, v, sc, cfg, tensor=tensor)
 
     F = np.float32

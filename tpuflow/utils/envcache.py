@@ -18,6 +18,7 @@ TRACE_ENV_FLAGS = (
     "TPUFLOW_ABLATE", "TPUFLOW_MM_PRECISION", "TPUFLOW_BANDED_RESAMPLE",
     "TPUFLOW_BANDED_COLS", "TPUFLOW_FUSED_LEVEL", "TPUFLOW_WHOLE_LEVEL",
     "TPUFLOW_DISABLE_PALLAS", "TPUFLOW_SMOOTH", "TPUFLOW_KERNEL_SHIFT",
+    "TPUFLOW_DU_ITERATE",
 )
 
 
