@@ -1326,6 +1326,14 @@ def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
     halo="gspmd": everything left to GSPMD, which partitions each stencil
     shift separately (~30 1-row collective-permutes per outer iteration —
     the latency-bound baseline the explicit path exists to beat).
+
+    halo="kernel": the speed-of-light variant — buckets admitted by
+    kernel_halo_applicable run the WHOLE per-shard relaxation as one
+    Pallas kernel with in-kernel ring-RDMA halo exchange
+    (tpuflow.parallel.halo_kernel): iterates stay VMEM-resident across
+    all outer x inner passes and only the 2-field halo rides ICI per
+    outer, with no XLA collective round trip. Buckets outside its gate
+    fall back to the explicit ppermute block, then to replication.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1343,9 +1351,21 @@ def compiled_full_pipeline_sharded(orig_shape: Tuple[int, int], mesh,
         return a  # tiny buckets: replicate (GSPMD's choice)
 
     def relax_for(bucket):
-        if halo != "explicit":
+        if halo not in ("explicit", "kernel"):
             return None
         from tpuflow.parallel.halo import halo_applicable, relax_sharded
+
+        if halo == "kernel":
+            from tpuflow.parallel.halo_kernel import (
+                kernel_halo_applicable, relax_sharded_kernel,
+            )
+
+            if kernel_halo_applicable(bucket[0], bucket[1], n_y, cfg):
+                def kfn(f0_l, f1_w, uu, vv, sc, cfg_):
+                    return relax_sharded_kernel(
+                        f0_l, f1_w, uu, vv, sc, cfg_, mesh, y_axis)
+
+                return kfn
 
         if not halo_applicable(bucket[0], n_y, cfg):
             return None
@@ -1392,7 +1412,9 @@ def compute_flow_bucketed_sharded(frame_0, frame_1, cfg: FlowConfig = None,
     too large for one chip, BASELINE configs[3]). Returns DEVICE arrays.
 
     halo: "explicit" (shard_map + one widened ppermute exchange per outer,
-    the default) or "gspmd" (compiler-partitioned stencils)."""
+    the default), "kernel" (in-kernel ring-RDMA Pallas relaxation,
+    tpuflow.parallel.halo_kernel) or "gspmd" (compiler-partitioned
+    stencils)."""
     from tpuflow.parallel.mesh import make_mesh
 
     cfg = cfg or FlowConfig()
