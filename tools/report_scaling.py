@@ -16,6 +16,14 @@ Usage:  python tools/report_scaling.py [N]
         (defaults to all visible devices; runs on CPU with
         XLA_FLAGS=--xla_force_host_platform_device_count=8 for a smoke
         test, but CPU numbers are not meaningful for the target)
+
+        python tools/report_scaling.py --project [fine_ms w h]
+        No hardware needed: prints the ANALYTIC sp projection
+        (tpuflow.parallel.model — per-level collective volume x ICI
+        cost over the real applicability gates) for the rub default
+        breakdown and, with args, an arbitrary frame size whose fine
+        levels cost fine_ms total on one chip. This is the estimate the
+        >=80% target is judged against until a real slice exists.
 """
 
 import json
@@ -52,7 +60,33 @@ def time_best(fn, reps=4, k=8):
     return best
 
 
+def project():
+    from tpuflow.config import FlowConfig
+    from tpuflow.parallel.model import project_schedule, rub_default_levels
+
+    cfg = FlowConfig()
+    pos = [a for a in sys.argv[2:] if not a.startswith("-")]
+    cases = [("rub", rub_default_levels())]
+    if pos:
+        fine_ms, w, h = float(pos[0]), int(pos[1]), int(pos[2])
+        cases.append((
+            f"{w}x{h}",
+            rub_default_levels(fine_ms_total=fine_ms, w=w, h=h),
+        ))
+    out = []
+    for name, levels in cases:
+        for path in ("explicit", "kernel"):
+            for n_y in (2, 4, 8):
+                row = project_schedule(levels, cfg, n_y, path)
+                row["case"] = name
+                out.append(row)
+    print(json.dumps(out, indent=1))
+
+
 def main():
+    if "--project" in sys.argv:
+        project()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else len(jax.devices())
     devices = jax.devices()[:n]
     platform = devices[0].platform
@@ -105,6 +139,16 @@ def main():
         )
         report["mpix_s_sp"] = round(mpix / ts, 3)
         report["sp_speedup"] = round(t1 / ts, 3)
+
+        # sp, in-kernel ring-RDMA halo (parallel/halo_kernel).
+        fence(compute_flow_bucketed_sharded(
+            fa, fb, cfg, mesh=mesh_y, halo="kernel")[0])
+        tk = time_best(
+            lambda: compute_flow_bucketed_sharded(
+                fa, fb, cfg, mesh=mesh_y, halo="kernel"), k=4
+        )
+        report["mpix_s_sp_kernel"] = round(mpix / tk, 3)
+        report["sp_kernel_speedup"] = round(t1 / tk, 3)
 
     print(json.dumps(report))
 
