@@ -104,15 +104,27 @@ def main():
         epe = endpoint_error(u_prod, v_prod, u_x, v_x)
         epe_ok = bool(epe <= GATE_PX)
 
+    # Fence-free K-slope: a fenced total divided by K still carries
+    # (fence + result-download)/K — at 4K the download alone is ~34 MB
+    # through the tunnel, which understated the original records by
+    # 10-30%. Timing two chain lengths and taking the slope cancels
+    # both terms exactly (one download each, same size).
     f0j, f1j = jnp.asarray(f0), jnp.asarray(f1)
-    times = []
+    k_lo, k_hi = max(1, K // 4), K
+    ts = {k_lo: [], k_hi: []}
     for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(K):
-            u, v = compute_flow_bucketed_async(f0j, f1j, cfg)
-        np.asarray(u)
-        times.append((time.perf_counter() - t0) / K)
-    best = min(times)
+        for k in (k_lo, k_hi):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                u, v = compute_flow_bucketed_async(f0j, f1j, cfg)
+            np.asarray(u)
+            ts[k].append(time.perf_counter() - t0)
+    med = {k: sorted(v)[len(v) // 2] for k, v in ts.items()}
+    lo = {k: min(v) for k, v in ts.items()}
+    # Report the more conservative (slower) of the two slope estimates.
+    best = max((med[k_hi] - med[k_lo]) / (k_hi - k_lo),
+               (lo[k_hi] - lo[k_lo]) / (k_hi - k_lo))
+    assert best > 0, (med, lo)
 
     record = {
         "case": case,

@@ -7,11 +7,16 @@ T-iterate full variant's 13 reads — if the sweep is traffic-bound as
 measured (shiftonly probe 86%), the full-variant A/B should show ~1.1x;
 the chunked A/B at the 1080p fine bucket tests lever #1's expected ~1.3x.
 
-Method (CLAUDE.md measurement rules): K calls chained by feeding
-0.001*du back into u (prevents CSE, keeps data realistic), ONE host
-fence per timing; interleaved rounds A/B/A/B against pool drift.
+Method (CLAUDE.md measurement rules): in-jit chains of K_lo and K_hi
+relaxations (fed back via u + 0.001*du to defeat CSE), one fence each;
+the per-level time is the K-SLOPE of the round-median totals, which
+cancels the fence exactly. The original version of this tool divided a
+single fenced total by K=8 — that left ~6 ms of fence in every per-call
+number and inflated the recorded rub-fine values ~7x (the fence trap,
+third occurrence; true T-full cost is ~1.0 ms/level, not 6.9).
+Interleaved rounds A/B/A/B against pool drift.
 
-Usage: python tools/bench_du_iterate.py [rub|1080p|4k] [K] [rounds]
+Usage: python tools/bench_du_iterate.py [rub|1080p|4k] [K_lo K_hi rounds]
 """
 
 import os
@@ -55,8 +60,9 @@ def make_case(name):
 
 def main():
     case = sys.argv[1] if len(sys.argv) > 1 else "rub"
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    k_lo = int(sys.argv[2]) if len(sys.argv) > 2 else (1 if case == "4k" else 4)
+    k_hi = int(sys.argv[3]) if len(sys.argv) > 3 else (3 if case == "4k" else 16)
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 6
     hb, wb, cw, ch, modes = make_case(case)
     cfg = FlowConfig()  # full default 40x5 schedule
     sc = LevelScalars.make(cw, ch, 1.0, 1.0, cfg.equation_alpha,
@@ -75,6 +81,8 @@ def main():
     fx, fy, ft, J = level_constants(f0, f1, sc, cfg)
     tensor = None if cfg.data_constancy.name == "GREY" else J
 
+    from functools import partial
+
     def chain(kind, mode):
         def relax(u, v):
             if kind == "T":
@@ -89,9 +97,9 @@ def main():
                                       pw_mode="four")
             return _relax_dyn(f0, f1, u, v, sc, cfg, use_pallas=False)
 
-        @jax.jit
-        def run(u, v):
-            for _ in range(K):
+        @partial(jax.jit, static_argnums=2)
+        def run(u, v, k):
+            for _ in range(k):
                 du, dv = relax(u, v)
                 u = u + 0.001 * du
                 v = v + 0.001 * dv
@@ -100,11 +108,13 @@ def main():
         return run
 
     fns = {label: chain(kind, mode) for label, kind, mode in modes}
-    # Warm up (compile) + value sanity.
+    # Warm up (compile both K programs) + value sanity.
     vals = {}
     for label, fn in fns.items():
         t0 = time.time()
-        uo, vo = fn(u0, v0)
+        uo, vo = fn(u0, v0, k_lo)
+        np.asarray(uo)
+        uo, vo = fn(u0, v0, k_hi)
         vals[label] = (np.asarray(uo), np.asarray(vo))
         print(f"{label}: compile+first {time.time()-t0:.1f}s", flush=True)
     labels = list(fns)
@@ -113,20 +123,25 @@ def main():
     print(f"A-vs-B valid diff: max {d.max():.2e} mean {d.mean():.2e}",
           flush=True)
 
-    times = {label: [] for label in fns}
+    times = {label: {k_lo: [], k_hi: []} for label in fns}
     for r in range(rounds):
         for label, fn in fns.items():
-            t0 = time.perf_counter()
-            uo, vo = fn(u0, v0)
-            np.asarray(uo)
-            times[label].append((time.perf_counter() - t0) / K)
-    print(f"\ncase={case} K={K} rounds={rounds} "
-          f"(per-call = one full {cfg.outer_iterations_count}x"
-          f"{cfg.inner_iterations_count} level relaxation at ({hb},{wb}))")
+            for k in (k_lo, k_hi):
+                t0 = time.perf_counter()
+                uo, vo = fn(u0, v0, k)
+                np.asarray(uo)
+                times[label][k].append(time.perf_counter() - t0)
+    print(f"\ncase={case} K={k_lo}/{k_hi} rounds={rounds} "
+          f"(per-level = one full {cfg.outer_iterations_count}x"
+          f"{cfg.inner_iterations_count} relaxation at ({hb},{wb}), "
+          f"fence-free K-slope)")
     for label, ts in times.items():
-        ts = sorted(ts)
-        print(f"  {label:12s} best {ts[0]*1000:8.2f} ms  "
-              f"median {ts[len(ts)//2]*1000:8.2f} ms")
+        med = {k: sorted(v)[len(v) // 2] for k, v in ts.items()}
+        lo = {k: min(v) for k, v in ts.items()}
+        s_med = (med[k_hi] - med[k_lo]) / (k_hi - k_lo)
+        s_min = (lo[k_hi] - lo[k_lo]) / (k_hi - k_lo)
+        print(f"  {label:12s} slope(median) {s_med*1000:8.2f} ms  "
+              f"slope(min) {s_min*1000:8.2f} ms")
 
 
 if __name__ == "__main__":
