@@ -269,6 +269,85 @@ def test_warp_dyn_paths_match_oracle(scale, path):
     np.testing.assert_allclose(got[:ch, :cw], want, atol=2e-4, err_msg=path)
 
 
+def test_warp_disp_env_widens_fast_path(monkeypatch):
+    """TPUFLOW_WARP_DISP (the cliff mitigation): displacements beyond the
+    default +-4 window re-enter the fast path when D is raised at trace
+    time, and the widened shift-sum stays exact vs the oracle."""
+    import jax.numpy as jnp
+
+    import tpuflow.oracle as oracle
+    from tpuflow.solver.bucketed import warp_dyn, warp_small_pred
+
+    rng = np.random.default_rng(5)
+    HB, WB, cw, ch = 64, 128, 100, 50
+    f0 = np.zeros((HB, WB), np.float32)
+    f1 = np.zeros((HB, WB), np.float32)
+    f0[:ch, :cw] = rng.random((ch, cw), dtype=np.float32) * 255
+    f1[:ch, :cw] = rng.random((ch, cw), dtype=np.float32) * 255
+    # Displacements in (-6, 6): outside the default window, inside D=8.
+    u = ((rng.random((HB, WB), dtype=np.float32) - 0.5) * 12).astype(np.float32)
+    v = ((rng.random((HB, WB), dtype=np.float32) - 0.5) * 12).astype(np.float32)
+    args = (jnp.asarray(u), jnp.asarray(v), np.float32(1), np.float32(1),
+            np.float32(cw - 1), np.float32(ch - 1))
+    assert not bool(warp_small_pred(*args))          # default D=4: cliff
+    monkeypatch.setenv("TPUFLOW_WARP_DISP", "8")
+    assert bool(warp_small_pred(*args))              # widened: fast path
+    got = np.asarray(
+        warp_dyn(
+            jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(u), jnp.asarray(v),
+            np.int32(cw), np.int32(ch), np.float32(1), np.float32(1),
+            np.float32(cw - 1), np.float32(ch - 1),
+        )
+    )
+    want = oracle.warp(f0[:ch, :cw], f1[:ch, :cw], u[:ch, :cw], v[:ch, :cw], 1.0, 1.0)
+    np.testing.assert_allclose(got[:ch, :cw], want, atol=2e-4)
+
+
+def test_vmem_overflow_falls_back_to_xla(monkeypatch):
+    """VMEM-gate safety net: a Mosaic scoped-vmem compile failure retries
+    the pipeline with Pallas disabled instead of failing the solve; any
+    other error re-raises."""
+    import tpuflow.solver.bucketed as B
+
+    monkeypatch.delenv("TPUFLOW_DISABLE_PALLAS", raising=False)
+    calls = []
+
+    def fake_builder(shape, cfg):
+        import os
+
+        disabled = os.environ.get("TPUFLOW_DISABLE_PALLAS") == "1"
+        calls.append(disabled)
+
+        def run(f0, f1):
+            if not disabled:
+                raise RuntimeError(
+                    "Ran out of memory in memory space vmem while "
+                    "allocating on stack")
+            return f0 * 0 + 7.0, f1 * 0 + 9.0
+
+        return run
+
+    monkeypatch.setattr(B, "compiled_full_pipeline", fake_builder)
+    f = np.ones((16, 16), np.float32)
+    with pytest.warns(RuntimeWarning, match="VMEM budget"):
+        u, v = B.compute_flow_bucketed_async(f, f)
+    assert calls == [False, True]
+    assert float(np.asarray(u)[0, 0]) == 7.0
+
+    # Non-vmem errors must propagate untouched.
+    monkeypatch.delenv("TPUFLOW_DISABLE_PALLAS", raising=False)
+
+    def fake_builder2(shape, cfg):
+        def run(f0, f1):
+            raise RuntimeError("unrelated failure")
+
+        return run
+
+    monkeypatch.setattr(B, "compiled_full_pipeline", fake_builder2)
+    with pytest.raises(RuntimeError, match="unrelated"):
+        B.compute_flow_bucketed_async(f, f)
+
+
 def test_level_step_blocked_resample_matches_dense(monkeypatch):
     # Force the block-banded route at a small size and pin it against the
     # dense-matmul route on the same level step (one sweep keeps ulp

@@ -74,11 +74,15 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuflow.config import DataConstancy, FlowConfig
 from tpuflow.ops.median import _network_median
 from tpuflow.ops.pallas.relax_bucket import VMEM_BUDGET_BYTES, VMEM_LIMIT_BYTES
+from tpuflow.ops.sweep_core import sweep_update_T
 
 F = np.float32
 
-# Must match solver.bucketed.WARP_MAX_DISP (imported lazily there to avoid
-# a module cycle; equality pinned by a test).
+# DEFAULT fast-path half-window; must match solver.bucketed.WARP_MAX_DISP
+# (equality pinned by a test). The traced value comes from
+# utils.envcache.warp_max_disp (TPUFLOW_WARP_DISP override) in BOTH
+# modules, so the in-kernel shift-sum window and the XLA warp/predicate
+# always agree.
 WARP_MAX_DISP = 4
 
 
@@ -182,7 +186,9 @@ def _warp_shift_sum(c, f0m, f1m, um, vm, ys, xs):
     mask (see module docstring).
 
     """
-    D = WARP_MAX_DISP
+    from tpuflow.utils.envcache import warp_max_disp
+
+    D = warp_max_disp()
     xs_f = xs.astype(jnp.float32)
     ys_f = ys.astype(jnp.float32)
     x_f = xs_f + um * c.inv_hx
@@ -324,21 +330,13 @@ def _tail_body(c, f0_ref, f1_ref, u_ref, v_ref, uo_ref, vo_ref,
         stv, stv_xp, stv_xm, stv_yp, stv_ym = tv_sh
         u_c = u_ref[:]
         v_c = v_ref[:]
-        sumU = (
-            pwxp_ref[:] * (stu_xp - u_c)
-            + pwxm_ref[:] * (stu_xm - u_c)
-            + pwyp_ref[:] * (stu_yp - u_c)
-            + pwym_ref[:] * (stu_ym - u_c)
+        new_du, new_dv = sweep_update_T(
+            (stu_xp, stu_xm, stu_yp, stu_ym),
+            (stv_xp, stv_xm, stv_yp, stv_ym),
+            u_c, v_c, stv - v_c,
+            (pwxp_ref[:], pwxm_ref[:], pwyp_ref[:], pwym_ref[:]),
+            a12_ref[:], a13_ref[:], a23_ref[:], dnu_ref[:], dnv_ref[:],
         )
-        sumV = (
-            pwxp_ref[:] * (stv_xp - v_c)
-            + pwxm_ref[:] * (stv_xm - v_c)
-            + pwyp_ref[:] * (stv_yp - v_c)
-            + pwym_ref[:] * (stv_ym - v_c)
-        )
-        sdv_c = stv - v_c
-        new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) / dnu_ref[:]
-        new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) / dnv_ref[:]
         dst_tu[:] = u_c + new_du
         dst_tv[:] = v_c + new_dv
 

@@ -47,10 +47,13 @@ Numerics match tpuflow.solver.bucketed._relax_dyn term by term (the same
 hoisted formulation, modulo the documented T-iterate reassociation);
 interpret-mode tests pin them together.
 
-MAINTENANCE NOTE: ops/pallas/level_fused.py embeds a copy of the "full"
-variant's relaxation structure (with SMEM scalars replaced by Python
-constants) as its phase B — numerics changes here must be mirrored
-there, and the interpret-mode parity tests of both files re-run.
+MAINTENANCE NOTE: the per-pixel update itself is the SHARED core
+(tpuflow.ops.sweep_core.sweep_update_T) — change the math there, once.
+ops/pallas/level_fused.py still embeds a copy of the "full" variant's
+relaxation STRUCTURE (buffer roles, hoists, ping-pong; SMEM scalars
+replaced by Python constants) as its phase B — structural changes here
+must be mirrored there, and the interpret-mode parity tests of both
+files re-run.
 """
 
 from __future__ import annotations
@@ -65,6 +68,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuflow.config import DataConstancy, FlowConfig
+from tpuflow.ops.sweep_core import sweep_update_T
 
 CHUNK = 64
 # 12 persistent (hb, wb) fields: u, v, Tu, Tv, TuB, TvB, phi and the five
@@ -317,30 +321,16 @@ def _relax_bucket_chunked(
                 u_c = u_ref[ds, :]
                 v_c = v_ref[ds, :]
                 tu_c, tu_xp, tu_xm, tu_yp, tu_ym = shifts(src_tu, i, s)
-                sumU = (
-                    pw_xp * (tu_xp - u_c)
-                    + pw_xm * (tu_xm - u_c)
-                    + pw_yp * (tu_yp - u_c)
-                    + pw_ym * (tu_ym - u_c)
-                )
                 tv_c, tv_xp, tv_xm, tv_yp, tv_ym = shifts(src_tv, i, s)
-                sumV = (
-                    pw_xp * (tv_xp - v_c)
-                    + pw_xm * (tv_xm - v_c)
-                    + pw_yp * (tv_yp - v_c)
-                    + pw_ym * (tv_ym - v_c)
-                )
-
-                dv_c = tv_c - v_c
-                # Same association as the hoisted XLA path
-                # (tpuflow.solver.bucketed._relax_dyn): -a13 - a12*dv + sumU,
-                # denominators b + sumH; dv* uses the fresh du*
-                # (reference: solve_2d.cu:361-367).
-                new_du = (-a13_ref[ds, :] - a12_ref[ds, :] * dv_c + sumU) / (
-                    b11_ref[ds, :] + sumH
-                )
-                new_dv = (-a23_ref[ds, :] - a12_ref[ds, :] * new_du + sumV) / (
-                    b22_ref[ds, :] + sumH
+                # Same association as the hoisted XLA path (the shared
+                # sweep core); denominators b + sumH; dv* uses the fresh
+                # du* (reference: solve_2d.cu:361-367).
+                new_du, new_dv = sweep_update_T(
+                    (tu_xp, tu_xm, tu_yp, tu_ym),
+                    (tv_xp, tv_xm, tv_yp, tv_ym),
+                    u_c, v_c, tv_c - v_c, (pw_xp, pw_xm, pw_yp, pw_ym),
+                    a12_ref[ds, :], a13_ref[ds, :], a23_ref[ds, :],
+                    b11_ref[ds, :] + sumH, b22_ref[ds, :] + sumH,
                 )
                 dst_tu[ds, :] = u_c + new_du
                 dst_tv[ds, :] = v_c + new_dv
@@ -551,27 +541,16 @@ def _relax_bucket_full(
                 return
             u_c = u_ref[:]
             v_c = v_ref[:]
-            sumU = (
-                pwxp_ref[:] * (stu_xp - u_c)
-                + pwxm_ref[:] * (stu_xm - u_c)
-                + pwyp_ref[:] * (stu_yp - u_c)
-                + pwym_ref[:] * (stu_ym - u_c)
+            # _ablate == "recip": denominator RECIPROCALS hoisted per
+            # outer (divide -> multiply; ~1-ulp reassociation; bench A/B).
+            new_du, new_dv = sweep_update_T(
+                (stu_xp, stu_xm, stu_yp, stu_ym),
+                (stv_xp, stv_xm, stv_yp, stv_ym),
+                u_c, v_c, stv - v_c,
+                (pwxp_ref[:], pwxm_ref[:], pwyp_ref[:], pwym_ref[:]),
+                a12_ref[:], a13_ref[:], a23_ref[:], dnu_ref[:], dnv_ref[:],
+                recip=_ablate == "recip",
             )
-            sumV = (
-                pwxp_ref[:] * (stv_xp - v_c)
-                + pwxm_ref[:] * (stv_xm - v_c)
-                + pwyp_ref[:] * (stv_yp - v_c)
-                + pwym_ref[:] * (stv_ym - v_c)
-            )
-            sdv_c = stv - v_c
-            if _ablate == "recip":
-                # Candidate: denominator RECIPROCALS hoisted per outer
-                # (divide -> multiply in the sweeps; ~1-ulp reassociation).
-                new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) * dnu_ref[:]
-                new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) * dnv_ref[:]
-            else:
-                new_du = (-a13_ref[:] - a12_ref[:] * sdv_c + sumU) / dnu_ref[:]
-                new_dv = (-a23_ref[:] - a12_ref[:] * new_du + sumV) / dnv_ref[:]
             dst_tu[:] = u_c + new_du
             dst_tv[:] = v_c + new_dv
 

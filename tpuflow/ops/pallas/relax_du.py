@@ -50,10 +50,11 @@ Scalars (valid extent + h-derived float32 constants) arrive in SMEM so
 one compiled kernel serves every level of a bucket. Interpret-mode tests
 pin all variants against _relax_dyn on the valid region.
 
-MAINTENANCE NOTE: the prologue/sweep expressions mirror
-solver.bucketed._relax_dyn term-for-term (modulo the documented folds);
-numerics changes must be mirrored there and in ops/pallas/relax_bucket
-/level_fused, and the parity-matrix tests re-run.
+MAINTENANCE NOTE: the per-pixel update is the SHARED core
+(tpuflow.ops.sweep_core.sweep_update_du); the PROLOGUE expressions
+mirror solver.bucketed._relax_dyn term-for-term (modulo the documented
+folds) — prologue changes must be mirrored there and in
+ops/pallas/relax_bucket/level_fused, and the parity-matrix tests re-run.
 """
 
 from __future__ import annotations
@@ -68,6 +69,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuflow.config import DataConstancy, FlowConfig
+from tpuflow.ops.sweep_core import sweep_update_du
 from tpuflow.ops.pallas.relax_bucket import (
     VMEM_BUDGET_BYTES,
     VMEM_LIMIT_BYTES,
@@ -305,16 +307,12 @@ def _relax_du_full(
             else:
                 pw_xm = _derive_pw_xm(pw_xp, xs)
                 pw_ym = _derive_pw_ym_full(pw_yp, ys)
-            sdu = (
-                pw_xp * sdu_xp + pw_xm * sdu_xm + pw_yp * sdu_yp
-                + pw_ym * sdu_ym
+            new_du, new_dv = sweep_update_du(
+                (sdu_xp, sdu_xm, sdu_yp, sdu_ym),
+                (sdv_xp, sdv_xm, sdv_yp, sdv_ym),
+                sdv_c, (pw_xp, pw_xm, pw_yp, pw_ym),
+                a12_ref[:], bu_ref[:], bv_ref[:], dnu_ref[:], dnv_ref[:],
             )
-            sdv = (
-                pw_xp * sdv_xp + pw_xm * sdv_xm + pw_yp * sdv_yp
-                + pw_ym * sdv_ym
-            )
-            new_du = (bu_ref[:] - a12_ref[:] * sdv_c + sdu) / dnu_ref[:]
-            new_dv = (bv_ref[:] - a12_ref[:] * new_du + sdv) / dnv_ref[:]
             dst_du[:] = new_du
             dst_dv[:] = new_dv
 
@@ -704,10 +702,11 @@ def _relax_du_chunked(
                 jnp.concatenate([top_p, pw_yp[:-1, :]], axis=0),
             )
 
-            sdu = pw_xp * du_xp + pw_xm * du_xm + pw_yp * du_yp + pw_ym * du_ym
-            sdv = pw_xp * dv_xp + pw_xm * dv_xm + pw_yp * dv_yp + pw_ym * dv_ym
-            new_du = (bu_ref[ds, :] - a12_ref[ds, :] * dv_c + sdu) / dnu_ref[ds, :]
-            new_dv = (bv_ref[ds, :] - a12_ref[ds, :] * new_du + sdv) / dnv_ref[ds, :]
+            new_du, new_dv = sweep_update_du(
+                (du_xp, du_xm, du_yp, du_ym), (dv_xp, dv_xm, dv_yp, dv_ym),
+                dv_c, (pw_xp, pw_xm, pw_yp, pw_ym), a12_ref[ds, :],
+                bu_ref[ds, :], bv_ref[ds, :], dnu_ref[ds, :], dnv_ref[ds, :],
+            )
             du_ref[ds, :] = new_du
             dv_ref[ds, :] = new_dv
             stash[0:1, :] = new_stash_du
@@ -1074,17 +1073,12 @@ def _relax_du_streamed(
                 gys == 0, jnp.float32(0.0),
                 jnp.concatenate([top_p, pw_yp[:-1, :]], axis=0),
             )
-            sdu = (
-                pw_xp * _shift_xp(du_c) + pw_xm * _shift_xm(du_c)
-                + pw_yp * du_s[2:, :] + pw_ym * du_s[:-2, :]
+            new_du, new_dv = sweep_update_du(
+                (_shift_xp(du_c), _shift_xm(du_c), du_s[2:, :], du_s[:-2, :]),
+                (_shift_xp(dv_c), _shift_xm(dv_c), dv_s[2:, :], dv_s[:-2, :]),
+                dv_c, (pw_xp, pw_xm, pw_yp, pw_ym), tin[slot, 1],
+                tin[slot, 2], tin[slot, 3], tin[slot, 4], tin[slot, 5],
             )
-            sdv = (
-                pw_xp * _shift_xp(dv_c) + pw_xm * _shift_xm(dv_c)
-                + pw_yp * dv_s[2:, :] + pw_ym * dv_s[:-2, :]
-            )
-            a12 = tin[slot, 1]
-            new_du = (tin[slot, 2] - a12 * dv_c + sdu) / tin[slot, 4]
-            new_dv = (tin[slot, 3] - a12 * new_du + sdv) / tin[slot, 5]
 
             @pl.when(i >= 2)
             def _():

@@ -56,6 +56,7 @@ from jax.sharding import PartitionSpec as P
 
 from tpuflow.config import FlowConfig
 from tpuflow.ops.solver_ops import _shifts
+from tpuflow.ops.sweep_core import sweep_update_T
 from tpuflow.solver.bucketed import level_constants
 
 
@@ -207,20 +208,12 @@ def relax_sharded(
                 tv = v_p + dv_i
                 _, tu_xp, tu_xm, tu_yp, tu_ym = local_shifts(tu)
                 _, tv_xp, tv_xm, tv_yp, tv_ym = local_shifts(tv)
-                sumU = (
-                    pw_xp * (tu_xp - u_p)
-                    + pw_xm * (tu_xm - u_p)
-                    + pw_yp * (tu_yp - u_p)
-                    + pw_ym * (tu_ym - u_p)
+                new_du, new_dv = sweep_update_T(
+                    (tu_xp, tu_xm, tu_yp, tu_ym),
+                    (tv_xp, tv_xm, tv_yp, tv_ym),
+                    u_p, v_p, dv_i, (pw_xp, pw_xm, pw_yp, pw_ym),
+                    a12, a13, a23, denom_u, denom_v,
                 )
-                sumV = (
-                    pw_xp * (tv_xp - v_p)
-                    + pw_xm * (tv_xm - v_p)
-                    + pw_yp * (tv_yp - v_p)
-                    + pw_ym * (tv_ym - v_p)
-                )
-                new_du = (-a13 - a12 * dv_i + sumU) / denom_u
-                new_dv = (-a23 - a12 * new_du + sumV) / denom_v
                 return (new_du, new_dv), None
 
             (du_p2, dv_p2), _ = jax.lax.scan(

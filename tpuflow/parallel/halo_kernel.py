@@ -59,6 +59,7 @@ from jax.sharding import PartitionSpec as P
 from tpuflow.config import DataConstancy, FlowConfig
 from tpuflow.ops.pallas.relax_bucket import VMEM_BUDGET_BYTES, VMEM_LIMIT_BYTES
 from tpuflow.ops.pallas.relax_du import _derive_pw_xm
+from tpuflow.ops.sweep_core import sweep_update_du
 from tpuflow.solver.bucketed import level_constants
 
 # collective_id namespace for this kernel family (arbitrary, must be
@@ -318,12 +319,12 @@ def relax_sharded_kernel(
                 pw_ym = jnp.where(
                     gys == 0, jnp.float32(0.0),
                     jnp.concatenate([pw_yp[:1, :], pw_yp[:-1, :]], axis=0))
-                sdu = (pw_xp * sdu_xp + pw_xm * sdu_xm + pw_yp * sdu_yp
-                       + pw_ym * sdu_ym)
-                sdv = (pw_xp * sdv_xp + pw_xm * sdv_xm + pw_yp * sdv_yp
-                       + pw_ym * sdv_ym)
-                new_du = (bu_ref[:] - a12_ref[:] * sdv_c + sdu) / dnu_ref[:]
-                new_dv = (bv_ref[:] - a12_ref[:] * new_du + sdv) / dnv_ref[:]
+                new_du, new_dv = sweep_update_du(
+                    (sdu_xp, sdu_xm, sdu_yp, sdu_ym),
+                    (sdv_xp, sdv_xm, sdv_yp, sdv_ym),
+                    sdv_c, (pw_xp, pw_xm, pw_yp, pw_ym),
+                    a12_ref[:], bu_ref[:], bv_ref[:], dnu_ref[:], dnv_ref[:],
+                )
                 dst_du[:] = new_du
                 dst_dv[:] = new_dv
 
