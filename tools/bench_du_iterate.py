@@ -123,12 +123,19 @@ def main():
     print(f"A-vs-B valid diff: max {d.max():.2e} mean {d.mean():.2e}",
           flush=True)
 
+    # ORDER ROTATION (measurement trap #4, BASELINE.md): with a fixed
+    # arm order, the arm measured FIRST in each round came out ~1.28x
+    # slower in two A/Bs whose arms were bit-identical code — a pool
+    # scheduling transient at round start, not a property of either arm.
+    # Rotating which arm leads each round spreads the transient evenly.
     times = {label: {k_lo: [], k_hi: []} for label in fns}
+    order = list(fns)
     for r in range(rounds):
-        for label, fn in fns.items():
+        rot = order[r % len(order):] + order[:r % len(order)]
+        for label in rot:
             for k in (k_lo, k_hi):
                 t0 = time.perf_counter()
-                uo, vo = fn(u0, v0, k)
+                uo, vo = fns[label](u0, v0, k)
                 np.asarray(uo)
                 times[label][k].append(time.perf_counter() - t0)
     print(f"\ncase={case} K={k_lo}/{k_hi} rounds={rounds} "
