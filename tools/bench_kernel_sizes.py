@@ -9,6 +9,13 @@ us/pass and achieved ops/s to locate the cliff (VMEM pressure?
 sublane-tile count? pool noise?).
 
 Usage: python tools/bench_kernel_sizes.py [sizes like 392x640 ...]
+
+CAVEAT (round 3): this probe divides a fenced total by K, which
+leaves (fence + result-download)/K of tunnel artifact in every
+number and a first-arm pool transient in fixed-order A/Bs
+(CLAUDE.md measurement traps #3/#4). Its historical absolutes are
+inflated; treat ratios as order-biased. For new measurements use
+the K-slope + order rotation pattern (tools/bench_du_iterate.py).
 """
 
 import os

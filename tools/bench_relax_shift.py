@@ -16,6 +16,13 @@ Variant groups (env-gated to bound compile count):
                      the per-chain fence from T(K1), T(K2)
 
 Usage: python tools/bench_relax_shift.py [K] [rounds]
+
+CAVEAT (round 3): this probe divides a fenced total by K, which
+leaves (fence + result-download)/K of tunnel artifact in every
+number and a first-arm pool transient in fixed-order A/Bs
+(CLAUDE.md measurement traps #3/#4). Its historical absolutes are
+inflated; treat ratios as order-biased. For new measurements use
+the K-slope + order rotation pattern (tools/bench_du_iterate.py).
 """
 
 import os

@@ -87,15 +87,25 @@ def main():
     os.environ.pop("TPUFLOW_MM_PRECISION", None)
     os.environ.pop("TPUFLOW_BANDED_RESAMPLE", None)
 
-    K = 32
+    # Fence-free K-slope, per-round arm-order rotation (CLAUDE.md
+    # measurement traps #3/#4 — divide-by-K numbers from earlier rounds
+    # carried (fence+download)/K plus a first-arm pool transient).
+    K_LO, K_HI, ROUNDS = 8, 32, 6
+    ts = {name: {K_LO: [], K_HI: []} for name in runs}
+    order = list(runs)
+    for r in range(ROUNDS):
+        rot = order[r % len(order):] + order[:r % len(order)]
+        for name in rot:
+            for k in (K_LO, K_HI):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    u, v = runs[name](f0, f1)
+                np.asarray(u)
+                ts[name][k].append(time.perf_counter() - t0)
     times = {}
-    for _ in range(4):  # interleave rounds so drift hits all variants
-        for name, fn in runs.items():
-            t0 = time.perf_counter()
-            for _ in range(K):
-                u, v = fn(f0, f1)
-            np.asarray(u)
-            times[name] = min(times.get(name, 9e9), (time.perf_counter() - t0) / K)
+    for name in runs:
+        med = {k: sorted(v)[len(v) // 2] for k, v in ts[name].items()}
+        times[name] = (med[K_HI] - med[K_LO]) / (K_HI - K_LO)
 
     full = times["full"] * 1e3
     print(f"full:      {full:.1f} ms/pair")

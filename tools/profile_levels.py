@@ -66,16 +66,26 @@ def main():
         print(f"{name}: warmed", flush=True)
     os.environ.pop("TPUFLOW_ABLATE", None)
 
-    K = 32
+    # Fence-free K-slope with per-round arm-order rotation (CLAUDE.md
+    # measurement traps #3/#4: divide-by-K leaves (fence+download)/K in
+    # every number, and the first arm of a fixed-order round pays a
+    # ~1.28x pool transient).
+    K_LO, K_HI, ROUNDS = 8, 32, 6
+    ts = {name: {K_LO: [], K_HI: []} for name in runs}
+    order = list(runs)
+    for r in range(ROUNDS):
+        rot = order[r % len(order):] + order[:r % len(order)]
+        for name in rot:
+            for k in (K_LO, K_HI):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    u, v = runs[name](f0, f1)
+                np.asarray(u)
+                ts[name][k].append(time.perf_counter() - t0)
     times = {}
-    for _ in range(4):
-        for name, fn in runs.items():
-            t0 = time.perf_counter()
-            for _ in range(K):
-                u, v = fn(f0, f1)
-            np.asarray(u)
-            times[name] = min(times.get(name, 9e9),
-                              (time.perf_counter() - t0) / K)
+    for name in runs:
+        med = {k: sorted(v)[len(v) // 2] for k, v in ts[name].items()}
+        times[name] = (med[K_HI] - med[K_LO]) / (K_HI - K_LO)
 
     for name in variants:
         print(f"{name:9s}: {times[name] * 1e3:6.2f} ms/pair")
