@@ -34,6 +34,32 @@ def pytest_configure(config):
     )
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _tpuflow_env_hygiene():
+    """No test (or library code a test drives) may leak TPUFLOW_* state.
+
+    Round 3's red suite came from exactly this: the VMEM-fallback latch
+    wrote os.environ and a monkeypatch teardown restored the leaked value,
+    poisoning every later test. The latch is a module flag now; this
+    fixture (a) fails the OFFENDING test on any TPUFLOW_* env delta, and
+    (b) clears the runtime Pallas latch on both sides of every test.
+    """
+    from tpuflow.utils import envcache
+
+    envcache.reset_pallas_runtime()
+    before = {k: v for k, v in os.environ.items() if k.startswith("TPUFLOW_")}
+    yield
+    after = {k: v for k, v in os.environ.items() if k.startswith("TPUFLOW_")}
+    envcache.reset_pallas_runtime()
+    assert after == before, (
+        "TPUFLOW_* env leaked across this test: "
+        f"{ {k: (before.get(k), after.get(k)) for k in set(before) | set(after) if before.get(k) != after.get(k)} }"
+    )
+
+
 def pytest_sessionstart(session):
     assert all(d.platform == "cpu" for d in jax.devices()), (
         "tests must run on the virtual CPU mesh, got "

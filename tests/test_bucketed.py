@@ -303,19 +303,116 @@ def test_warp_disp_env_widens_fast_path(monkeypatch):
     np.testing.assert_allclose(got[:ch, :cw], want, atol=2e-4)
 
 
+def test_warp_adaptive_wide_tier_no_env_needed():
+    """Round-4 adaptive tiers (VERDICT r3 #5): displacements in (D, 2D]
+    take the widened +-2D shift-sum WITHOUT any env knob, matching the
+    exact gather (and the oracle) — a violent-motion level that round 3
+    sent to the ~5 ms scalar gather now runs the vectorized fast path."""
+    import jax.numpy as jnp
+
+    import tpuflow.oracle as oracle
+    from tpuflow.solver.bucketed import warp_dyn, warp_gather
+
+    rng = np.random.default_rng(5)
+    HB, WB, cw, ch = 64, 128, 100, 50
+    f0 = np.zeros((HB, WB), np.float32)
+    f1 = np.zeros((HB, WB), np.float32)
+    f0[:ch, :cw] = rng.random((ch, cw), dtype=np.float32) * 255
+    f1[:ch, :cw] = rng.random((ch, cw), dtype=np.float32) * 255
+    # Displacements in (-6, 6): beyond the default D=4, inside 2D=8.
+    u = ((rng.random((HB, WB), dtype=np.float32) - 0.5) * 12).astype(np.float32)
+    v = ((rng.random((HB, WB), dtype=np.float32) - 0.5) * 12).astype(np.float32)
+    args = (jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(u), jnp.asarray(v),
+            np.int32(cw), np.int32(ch), np.float32(1), np.float32(1),
+            np.float32(cw - 1), np.float32(ch - 1))
+    got = np.asarray(warp_dyn(*args))
+    want_gather = np.asarray(warp_gather(*args))
+    want_oracle = oracle.warp(f0[:ch, :cw], f1[:ch, :cw], u[:ch, :cw],
+                              v[:ch, :cw], 1.0, 1.0)
+    # Value-exact vs the gather (the tiers differ only in the 4-tap
+    # summation association, <=1 ulp on 0..255 data).
+    np.testing.assert_allclose(got[:ch, :cw], want_gather[:ch, :cw],
+                               atol=1e-4)
+    np.testing.assert_allclose(got[:ch, :cw], want_oracle, atol=2e-4)
+
+
+def test_level_step_warp_tier_telemetry():
+    """return_tier: the classic level step reports which warp branch the
+    traced cond takes (0 fast / 1 wide / 2 gather) — derived from the
+    same predicates the cond uses."""
+    import jax.numpy as jnp
+
+    from tpuflow.config import FlowConfig
+    from tpuflow.solver.bucketed import LevelScalars, bucketed_level_step
+
+    cfg = FlowConfig(outer_iterations_count=1, inner_iterations_count=1,
+                     median_radius=3)
+    HB, WB = 64, 128
+    cw, ch = 100, 50
+    sc = LevelScalars.make(cw, ch, 1.0, 1.0, 35.0, cw, ch, cw, ch)
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.random((HB, WB), dtype=np.float32) * 255)
+    for disp, want_tier in ((0.5, 0), (6.0, 1), (20.0, 2)):
+        u_prev = jnp.full((HB, WB), np.float32(disp))
+        out = bucketed_level_step(
+            f, f, u_prev, jnp.zeros_like(u_prev), sc.tree(), (HB, WB),
+            (HB, WB), cfg, use_pallas=False, return_tier=True,
+        )
+        assert len(out) == 3
+        assert int(out[2]) == want_tier, (disp, int(out[2]))
+
+
+def test_warp_report_pipeline():
+    """compute_flow_warp_report: production-observable per-level warp
+    telemetry. Gentle motion -> every level tier 0; violent motion (a
+    ~6.5 px shift) -> the fine levels report the wide tier (and none of
+    this perturbs the two-output production pipeline)."""
+    from tpuflow.config import FlowConfig
+    from tpuflow.solver.bucketed import (
+        compute_flow_bucketed_async,
+        compute_flow_warp_report,
+    )
+
+    h, w = 72, 96
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def blobs(dx):
+        return (200.0 * np.exp(-((ys - 36) ** 2 + (xs - 48 - dx) ** 2) / 60.0)
+                + 150.0 * np.exp(-((ys - 20) ** 2 + (xs - 20 - dx) ** 2) / 40.0)
+                ).astype(np.float32)
+
+    # A schedule that actually tracks the motion (alpha=10, deep
+    # pyramid): dx=6.5 recovers ~6.5 px of flow, whose finest levels
+    # exceed the +-4 fast window and must REPORT the wide tier.
+    cfg = FlowConfig(warp_levels_count=8, warp_scale_factor=0.6,
+                     outer_iterations_count=30, inner_iterations_count=5,
+                     equation_alpha=10.0, median_radius=3,
+                     gaussian_sigma=1.5)
+    u, v, rep = compute_flow_warp_report(blobs(0), blobs(0.8), cfg)
+    assert rep["tiers"].shape[0] == len(rep["levels"])
+    assert rep["n_wide"] == 0 and rep["n_gather"] == 0
+    assert (rep["tiers"] == 0).all()
+
+    u2, v2, rep2 = compute_flow_warp_report(blobs(0), blobs(6.5), cfg)
+    assert rep2["n_wide"] >= 1, rep2
+    # Telemetry is a separate program; production output is unchanged.
+    up, vp = compute_flow_bucketed_async(blobs(0), blobs(6.5), cfg)
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(up))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vp))
+
+
 def test_vmem_overflow_falls_back_to_xla(monkeypatch):
     """VMEM-gate safety net: a Mosaic scoped-vmem compile failure retries
     the pipeline with Pallas disabled instead of failing the solve; any
     other error re-raises."""
     import tpuflow.solver.bucketed as B
+    from tpuflow.utils import envcache
 
-    monkeypatch.delenv("TPUFLOW_DISABLE_PALLAS", raising=False)
+    envcache.reset_pallas_runtime()
     calls = []
 
     def fake_builder(shape, cfg):
-        import os
-
-        disabled = os.environ.get("TPUFLOW_DISABLE_PALLAS") == "1"
+        disabled = envcache.pallas_disabled()
         calls.append(disabled)
 
         def run(f0, f1):
@@ -329,13 +426,21 @@ def test_vmem_overflow_falls_back_to_xla(monkeypatch):
 
     monkeypatch.setattr(B, "compiled_full_pipeline", fake_builder)
     f = np.ones((16, 16), np.float32)
-    with pytest.warns(RuntimeWarning, match="VMEM budget"):
-        u, v = B.compute_flow_bucketed_async(f, f)
-    assert calls == [False, True]
-    assert float(np.asarray(u)[0, 0]) == 7.0
+    try:
+        with pytest.warns(RuntimeWarning, match="VMEM budget"):
+            u, v = B.compute_flow_bucketed_async(f, f)
+        assert calls == [False, True]
+        assert float(np.asarray(u)[0, 0]) == 7.0
+        # The latch is a module flag, NOT os.environ (the round-3 env
+        # leak poisoned later tests via monkeypatch teardown).
+        import os
+
+        assert "TPUFLOW_DISABLE_PALLAS" not in os.environ
+        assert envcache.pallas_disabled()
+    finally:
+        envcache.reset_pallas_runtime()
 
     # Non-vmem errors must propagate untouched.
-    monkeypatch.delenv("TPUFLOW_DISABLE_PALLAS", raising=False)
 
     def fake_builder2(shape, cfg):
         def run(f0, f1):
