@@ -91,6 +91,24 @@ def test_relax_sharded_bit_matches_unsharded(constancy, n_y):
     assert epe.mean() < 1e-4, (constancy, n_y, epe.mean())
 
 
+def test_sharded_pipeline_auto_matches_unsharded():
+    """halo="auto": cost-based per-level routing over {replicate,
+    explicit@k, kernel@k} (parallel.model.plan_level) must leave the
+    result unchanged — routing is a cost decision only."""
+    h, w = 120, 140
+    f0 = blob(h, w, 60, 70, 8.0) + blob(h, w, 30, 35, 4.0)
+    f1 = blob(h, w, 61.1, 69.2, 8.0) + blob(h, w, 30.7, 35.8, 4.0)
+    cfg = FlowConfig(
+        warp_levels_count=4, warp_scale_factor=0.6, outer_iterations_count=5,
+        inner_iterations_count=3, median_radius=5, gaussian_sigma=1.0,
+    )
+    mesh = make_mesh((2, 4))
+    us, vs = compute_flow_bucketed_sharded(f0, f1, cfg, mesh=mesh, halo="auto")
+    u1, v1 = compute_flow_bucketed_async(f0, f1, cfg)
+    epe = endpoint_error(np.asarray(us), np.asarray(vs), np.asarray(u1), np.asarray(v1))
+    assert epe < 1e-5, f"auto-routed sharded vs unsharded EPE {epe}"
+
+
 @pytest.mark.parametrize("constancy", [DataConstancy.GREY, DataConstancy.GRADIENT])
 def test_sharded_pipeline_explicit_matches_unsharded(constancy):
     h, w = 120, 140  # top bucket (128, 256): 128 rows shard over 4 devices
@@ -106,6 +124,60 @@ def test_sharded_pipeline_explicit_matches_unsharded(constancy):
     u1, v1 = compute_flow_bucketed_async(f0, f1, cfg)
     epe = endpoint_error(np.asarray(us), np.asarray(vs), np.asarray(u1), np.asarray(v1))
     assert epe < 1e-5, f"explicit-halo sharded vs unsharded EPE {epe}"
+
+
+@pytest.mark.parametrize("k", [2, 5, 10])
+def test_k_outer_fusion_matches_unsharded(k):
+    """k-outer halo fusion (VERDICT r3 #2): exchanging a k*(inner+1)-row
+    halo every k outer iterations with redundant in-margin recompute must
+    leave valid-region numerics unchanged — the margin consumed per outer
+    is exactly inner+1 rows, so after k fused outers the garbage front
+    has just reached the owned-row boundary."""
+    f0, f1, u, v, sc, (cw, ch) = setup()
+    cfg = FlowConfig(outer_iterations_count=10, inner_iterations_count=2)
+    mesh = make_mesh((2, 4))
+    want_du, want_dv = _relax_dyn(f0, f1, u, v, sc.tree(), cfg, use_pallas=False)
+    got_du, got_dv = jax.jit(
+        lambda *a: relax_sharded(*a, sc.tree(), cfg, mesh, "y", k_outer=k)
+    )(f0, f1, u, v)
+    epe = np.hypot(
+        np.asarray(got_du)[:ch, :cw] - np.asarray(want_du)[:ch, :cw],
+        np.asarray(got_dv)[:ch, :cw] - np.asarray(want_dv)[:ch, :cw],
+    )
+    assert epe.mean() < 1e-4, (k, epe.mean())
+    # Stronger pin: redundant in-margin recompute from true inputs yields
+    # exactly the bits the neighbor computed for its owned copy, so k>1
+    # is BIT-IDENTICAL to the per-outer-exchange path (measured fact,
+    # round 4; holds because every shard runs the same expression order).
+    du1, dv1 = jax.jit(
+        lambda *a: relax_sharded(*a, sc.tree(), cfg, mesh, "y", k_outer=1)
+    )(f0, f1, u, v)
+    np.testing.assert_array_equal(
+        np.asarray(got_du)[:ch, :cw], np.asarray(du1)[:ch, :cw])
+    np.testing.assert_array_equal(
+        np.asarray(got_dv)[:ch, :cw], np.asarray(dv1)[:ch, :cw])
+
+
+def test_k_outer_rem_block_and_gate():
+    """outer % k != 0 runs a trailing partial block; the applicability
+    gate scales with k (a shard must own >= k*(inner+1) rows)."""
+    f0, f1, u, v, sc, (cw, ch) = setup()
+    cfg = FlowConfig(outer_iterations_count=7, inner_iterations_count=2)
+    mesh = make_mesh((2, 4))
+    want_du, want_dv = _relax_dyn(f0, f1, u, v, sc.tree(), cfg, use_pallas=False)
+    got_du, got_dv = jax.jit(
+        lambda *a: relax_sharded(*a, sc.tree(), cfg, mesh, "y", k_outer=3)
+    )(f0, f1, u, v)
+    epe = np.hypot(
+        np.asarray(got_du)[:ch, :cw] - np.asarray(want_du)[:ch, :cw],
+        np.asarray(got_dv)[:ch, :cw] - np.asarray(want_dv)[:ch, :cw],
+    )
+    assert epe.mean() < 1e-4, epe.mean()
+
+    cfg5 = FlowConfig(inner_iterations_count=5)
+    assert halo_applicable(128, 4, cfg5, k_outer=5)       # 32 >= 30
+    assert not halo_applicable(128, 4, cfg5, k_outer=6)   # 32 < 36
+    assert not halo_applicable(128, 8, cfg5, k_outer=3)   # 16 < 18
 
 
 def count_dynamic_ppermutes(jaxpr, mult=1):
@@ -138,4 +210,21 @@ def test_one_widened_exchange_per_outer():
     )(f0, f1, u, v)
     n = count_dynamic_ppermutes(jaxpr.jaxpr)
     expected = 10 * 2 + outer * 2 * 2
+    assert n == expected, (n, expected)
+
+
+def test_k_outer_cuts_exchange_count():
+    """With k-outer fusion the per-level exchange count drops to
+    ceil(outer/k) widened exchanges (4 ppermutes each) + the fixed
+    constant setup — the collective-count contract of the n>=4 scaling
+    design (parallel/model.py prices exactly this)."""
+    f0, f1, u, v, sc, _ = setup()
+    outer, inner, k = 10, 2, 5
+    cfg = FlowConfig(outer_iterations_count=outer, inner_iterations_count=inner)
+    mesh = make_mesh((2, 4))
+    jaxpr = jax.make_jaxpr(
+        lambda *a: relax_sharded(*a, sc.tree(), cfg, mesh, "y", k_outer=k)
+    )(f0, f1, u, v)
+    n = count_dynamic_ppermutes(jaxpr.jaxpr)
+    expected = 10 * 2 + -(-outer // k) * 2 * 2
     assert n == expected, (n, expected)

@@ -64,6 +64,32 @@ def test_kernel_matches_unsharded(constancy):
     assert d.mean() < 5e-5 and d.max() < 2e-2, (d.mean(), d.max())
 
 
+@pytest.mark.parametrize("k", [2, 5])
+def test_kernel_k_outer_fusion_bit_matches_k1(k):
+    """k-outer fusion in the RDMA kernel (VERDICT r3 #2): one exchange
+    per k fused outers with a k*(inner+1)-row halo (8-rounded), per-outer
+    top_fill/maintain upkeep in between. Valid rows are BIT-IDENTICAL to
+    the per-outer-exchange kernel: every shard runs the same expression
+    order, so redundantly recomputing a halo row from true inputs yields
+    exactly the bits the neighbor computed for its owned copy."""
+    cfg = FlowConfig(outer_iterations_count=10, inner_iterations_count=2)
+    f0, f1, u, v, sc, (cw, ch) = setup(seed=3)
+    du1, dv1 = map(np.asarray, relax_sharded_kernel(
+        f0, f1, u, v, sc, cfg, mesh_1d(), k_outer=1, interpret=True))
+    du, dv = map(np.asarray, relax_sharded_kernel(
+        f0, f1, u, v, sc, cfg, mesh_1d(), k_outer=k, interpret=True))
+    np.testing.assert_array_equal(du[:ch, :cw], du1[:ch, :cw])
+    np.testing.assert_array_equal(dv[:ch, :cw], dv1[:ch, :cw])
+
+
+def test_kernel_k_outer_gate():
+    """The VMEM/shard-size gate scales with k: wider halos need bigger
+    shards and a bigger padded working set."""
+    cfg = FlowConfig(inner_iterations_count=5)      # halo(k) = 8*ceil(6k/8)
+    assert kernel_halo_applicable(128, 256, 4, cfg, k_outer=2)   # 32 >= 16-rounded 12
+    assert not kernel_halo_applicable(128, 256, 4, cfg, k_outer=6)  # halo 40 > 32 rows/shard
+
+
 def test_kernel_2d_mesh():
     """MESH-dict device ids: the same kernel must run (and agree) on a
     dp x sp 2-D mesh — LOGICAL ids would address the wrong device there

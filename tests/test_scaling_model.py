@@ -58,6 +58,55 @@ def test_large_frames_scale_better():
     assert big["efficiency"] >= 0.8  # the BASELINE target, projected
 
 
+def test_k_outer_cuts_comm():
+    """k-outer fusion divides the per-level exchange count: comm cost
+    must fall monotonically in k for both paths (same once-per-level
+    constant volume, ceil(outer/k) iterate exchanges of a k-widened
+    halo — bandwidth up, message count and dispatch down)."""
+    cfg = FlowConfig()
+    ici = ICIParams()
+    for path in ("explicit", "kernel"):
+        costs = [level_comm_cost(448, 640, cfg, 4, path, ici, k)
+                 for k in (1, 2, 5, 10)]
+        assert costs == sorted(costs, reverse=True), (path, costs)
+        # k=10 must at least halve k=1 (the kernel path's fixed
+        # once-per-level constant volume GROWS with the halo width, so
+        # its floor is higher than the explicit path's).
+        assert costs[-1] < 0.45 * costs[0], (path, costs)
+
+
+def test_plan_level_router():
+    """The halo='auto' router: mid-pyramid levels whose exchange cost
+    exceeds the sharding gain must resolve to replicated; the finest
+    1080p-class buckets must shard."""
+    from tpuflow.parallel.model import plan_level
+
+    cfg = FlowConfig()
+    # Coarse bucket: replicate (gate + cost both say so).
+    path, _, _ = plan_level(64, 128, cfg, 4)
+    assert path == "replicated"
+    # 1080p fine bucket: shard.
+    path, k, _ = plan_level(1088, 2048, cfg, 4)
+    assert path in ("kernel", "explicit") and k >= 1
+
+
+def test_auto_projection_clears_target_at_n4():
+    """The round-4 headline: cost-based per-level routing (+ k-outer
+    fusion) lifts the projected 1080p n=4 efficiency over the >=80%
+    BASELINE target (round 3's gate-only routing projected 72%)."""
+    from tpuflow.parallel.model import project_schedule_auto
+
+    cfg = FlowConfig()
+    lv = rub_default_levels(fine_ms_total=120.0, w=1920, h=1080)
+    for n, floor in ((2, 0.9), (4, 0.8)):
+        r = project_schedule_auto(lv, cfg, n)
+        assert r["efficiency"] >= floor, (n, r)
+    # Router beats the fixed gate-only routing it replaced.
+    r8 = project_schedule_auto(lv, cfg, 8)
+    fixed8 = project_schedule(lv, cfg, 8, "kernel")
+    assert r8["efficiency"] > fixed8["efficiency"]
+
+
 def test_efficiency_definition():
     cfg = FlowConfig()
     r = project_schedule(rub_default_levels(), cfg, 4, "explicit")

@@ -62,7 +62,12 @@ def time_best(fn, reps=4, k=8):
 
 def project():
     from tpuflow.config import FlowConfig
-    from tpuflow.parallel.model import project_schedule, rub_default_levels
+    from tpuflow.parallel.model import (
+        best_k,
+        project_schedule,
+        project_schedule_auto,
+        rub_default_levels,
+    )
 
     cfg = FlowConfig()
     pos = [a for a in sys.argv[2:] if not a.startswith("-")]
@@ -75,11 +80,18 @@ def project():
         ))
     out = []
     for name, levels in cases:
-        for path in ("explicit", "kernel"):
-            for n_y in (2, 4, 8):
-                row = project_schedule(levels, cfg, n_y, path)
+        for n_y in (2, 4, 8):
+            for path in ("explicit", "kernel"):
+                row = project_schedule(levels, cfg, n_y, path)   # k=1
                 row["case"] = name
                 out.append(row)
+                row = best_k(levels, cfg, n_y, path)             # best fixed k
+                row["case"] = name
+                row["path"] = f"{path}+best_k"
+                out.append(row)
+            row = project_schedule_auto(levels, cfg, n_y)        # per-level router
+            row["case"] = name
+            out.append(row)
     print(json.dumps(out, indent=1))
 
 
@@ -149,6 +161,16 @@ def main():
         )
         report["mpix_s_sp_kernel"] = round(mpix / tk, 3)
         report["sp_kernel_speedup"] = round(t1 / tk, 3)
+
+        # sp, cost-based per-level router (replicate/explicit@k/kernel@k).
+        fence(compute_flow_bucketed_sharded(
+            fa, fb, cfg, mesh=mesh_y, halo="auto")[0])
+        ta = time_best(
+            lambda: compute_flow_bucketed_sharded(
+                fa, fb, cfg, mesh=mesh_y, halo="auto"), k=4
+        )
+        report["mpix_s_sp_auto"] = round(mpix / ta, 3)
+        report["sp_auto_speedup"] = round(t1 / ta, 3)
 
     print(json.dumps(report))
 

@@ -60,15 +60,19 @@ from tpuflow.ops.sweep_core import sweep_update_T
 from tpuflow.solver.bucketed import level_constants
 
 
-def halo_applicable(hb: int, n_y: int, cfg: FlowConfig) -> bool:
-    """Row sharding with a k-row halo needs each shard to own at least k
-    rows (the exchange sends the shard's outermost k rows); below 16
+def halo_applicable(hb: int, n_y: int, cfg: FlowConfig,
+                    k_outer: int | None = None) -> bool:
+    """Row sharding with an m-row halo needs each shard to own at least m
+    rows (the exchange sends the shard's outermost m rows); below 16
     rows/shard the pipeline replicates the bucket anyway (the coarse-level
     threshold), so require that too. The traced valid edge needs no
     placement constraint: its mirror maintenance is a where-select on
     global row index, applied identically on every shard (including halo
     copies of the ghost row)."""
-    halo = cfg.inner_iterations_count + 1
+    from tpuflow.utils.envcache import halo_k_outer
+
+    k = k_outer if k_outer is not None else halo_k_outer()
+    halo = k * (cfg.inner_iterations_count + 1)
     if hb % n_y != 0:
         return False
     s = hb // n_y
@@ -94,23 +98,41 @@ def _exchange(x_local, halo: int, y_axis: str, n_y: int, top_fill=None):
 
 
 def relax_sharded(
-    f0_l, f1_w, u, v, sc, cfg: FlowConfig, mesh, y_axis: str = "y"
+    f0_l, f1_w, u, v, sc, cfg: FlowConfig, mesh, y_axis: str = "y",
+    k_outer: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """outer x inner relaxation on bucket arrays, rows sharded over
-    ``y_axis``, one halo exchange per outer iteration.
+    ``y_axis``, one halo exchange per k_outer OUTER iterations.
+
+    k_outer (default: envcache.halo_k_outer(), i.e. TPUFLOW_HALO_K or 1)
+    fuses k outer iterations per exchange by widening the halo to
+    k*(inner+1) rows and recomputing phi/ksi + sweeps redundantly in the
+    margin. Each exchange re-seeds the halo with true neighbor rows; one
+    outer iteration consumes exactly inner+1 rows of margin (1 for the
+    phi gradient, 1 for the phi neighbor average, 1 per additional
+    sweep), so after k fused outers the garbage front has just reached —
+    never crossed — the owned-row boundary. The only in-block upkeep is
+    per-outer mirror maintenance: the valid-edge ghost row/col (as in the
+    unsharded engine) plus the global row -1 mirror (du[-1] := du[1],
+    the phi gradient's boundary read, solve_2d.cu:75-76), both
+    where-selects on global indices that fire on whichever shard holds
+    the row.
 
     Inputs/outputs are full bucket-shaped arrays (shard_map handles the
     split); numerics on the valid region are bit-identical to
-    tpuflow.solver.bucketed._relax_dyn (same expression order per pixel —
-    the halo rows merely provide the same neighbor values the unsharded
-    stencil reads directly).
+    tpuflow.solver.bucketed._relax_dyn for ANY k (same expression order
+    per pixel — the halo rows merely provide the same neighbor values
+    the unsharded stencil reads directly).
     """
     from jax import shard_map
 
+    from tpuflow.utils.envcache import halo_k_outer
+
+    k = k_outer if k_outer is not None else halo_k_outer()
     (cw, ch, _, _, div2hx, div2hy, _, _, a_hx2, a_hy2) = sc[:10]
     hb, wb = u.shape
     n_y = mesh.shape[y_axis]
-    halo = cfg.inner_iterations_count + 1
+    halo = k * (cfg.inner_iterations_count + 1)
     s_rows = hb // n_y
     pad_rows = s_rows + 2 * halo
     F = np.float32
@@ -158,6 +180,13 @@ def relax_sharded(
             a = jnp.where(rows == lgr, jnp.roll(a, 2, axis=0), a)
             return jnp.where(gxs == cw, jnp.roll(a, 2, axis=1), a)
 
+        def maintain_top(a):
+            """Global row -1 := mirror of row 1 (phi gradient boundary,
+            solve_2d.cu:75-76) — the in-block replacement for the
+            exchange-time top_fill; fires only on the top shard's
+            adjacent halo row."""
+            return jnp.where(gys == -1, jnp.roll(a, -2, axis=0), a)
+
         def local_shifts(a):
             """Concat shifts on the padded block; block-edge values are
             halo garbage that never reaches valid pixels."""
@@ -165,8 +194,6 @@ def relax_sharded(
 
         u_p = pad(u_l, True)
         v_p = pad(v_l, True)
-        du0 = jnp.zeros_like(u_p)
-        dv0 = jnp.zeros_like(v_p)
 
         def outer_step(carry, _):
             du_p, dv_p = carry
@@ -219,19 +246,37 @@ def relax_sharded(
             (du_p2, dv_p2), _ = jax.lax.scan(
                 inner_step, (du_p, dv_p), None, length=cfg.inner_iterations_count
             )
-            # Refresh the halo: keep own rows, maintain the valid-edge
-            # mirror, exchange the widened halo for the next outer.
-            du_n = maintain_pad(du_p2)[halo : halo + s_rows, :]
-            dv_n = maintain_pad(dv_p2)[halo : halo + s_rows, :]
-            return (pad(du_n, True), pad(dv_n, True)), None
+            # In-block upkeep only: valid-edge + global-top mirror
+            # maintenance on the padded block. The halo itself is
+            # re-seeded once per k-outer block (fused_block below).
+            du_n = maintain_top(maintain_pad(du_p2))
+            dv_n = maintain_top(maintain_pad(dv_p2))
+            return (du_n, dv_n), None
 
-        (du_p, dv_p), _ = jax.lax.scan(
-            outer_step, (du0, dv0), None, length=cfg.outer_iterations_count
-        )
-        return (
-            du_p[halo : halo + s_rows, :],
-            dv_p[halo : halo + s_rows, :],
-        )
+        def fused_block(du_own, dv_own, n_out: int):
+            """Exchange once, then run n_out outer iterations locally
+            with redundant compute in the (shrinking) halo margin."""
+            du_p = pad(du_own, True)
+            dv_p = pad(dv_own, True)
+            (du_p, dv_p), _ = jax.lax.scan(
+                outer_step, (du_p, dv_p), None, length=n_out
+            )
+            return (
+                du_p[halo : halo + s_rows, :],
+                dv_p[halo : halo + s_rows, :],
+            )
+
+        du_o = jnp.zeros((s_rows, wb), jnp.float32)
+        dv_o = jnp.zeros_like(du_o)
+        n_blocks, rem = divmod(cfg.outer_iterations_count, k)
+        if n_blocks:
+            (du_o, dv_o), _ = jax.lax.scan(
+                lambda c, _: (fused_block(c[0], c[1], k), None),
+                (du_o, dv_o), None, length=n_blocks,
+            )
+        if rem:
+            du_o, dv_o = fused_block(du_o, dv_o, rem)
+        return du_o, dv_o
 
     spec = P(y_axis, None)
     sharded = shard_map(

@@ -67,19 +67,25 @@ from tpuflow.solver.bucketed import level_constants
 _COLLECTIVE_ID = 11
 
 
-def _halo_rows(cfg: FlowConfig) -> int:
-    """Exchange width: inner+1 rows of true dependence, rounded up to the
-    8-sublane tile so every padded-buffer offset stays tile-aligned (the
-    extra rows just widen the redundant-compute margin)."""
-    return -(-(cfg.inner_iterations_count + 1) // 8) * 8
+def _halo_rows(cfg: FlowConfig, k_outer: int = 1) -> int:
+    """Exchange width: k_outer*(inner+1) rows of true dependence (one
+    exchange feeds k_outer fused outer iterations, parallel/halo.py
+    semantics), rounded up to the 8-sublane tile so every padded-buffer
+    offset stays tile-aligned (the extra rows just widen the
+    redundant-compute margin)."""
+    return -(-(k_outer * (cfg.inner_iterations_count + 1)) // 8) * 8
 
 
-def kernel_halo_applicable(hb: int, wb: int, n_y: int, cfg: FlowConfig) -> bool:
+def kernel_halo_applicable(hb: int, wb: int, n_y: int, cfg: FlowConfig,
+                           k_outer: int | None = None) -> bool:
     """Same shard-size rules as halo.halo_applicable plus the VMEM gate
     for the padded per-shard working set (~27 padded fields)."""
+    from tpuflow.utils.envcache import halo_k_outer
+
+    k = k_outer if k_outer is not None else halo_k_outer()
     if cfg.inner_iterations_count < 1:
         return False
-    halo = _halo_rows(cfg)
+    halo = _halo_rows(cfg, k)
     if hb % n_y != 0 or wb % 128 != 0:
         return False
     s_rows = hb // n_y
@@ -93,24 +99,34 @@ def kernel_halo_applicable(hb: int, wb: int, n_y: int, cfg: FlowConfig) -> bool:
 
 def relax_sharded_kernel(
     f0_l, f1_w, u, v, sc, cfg: FlowConfig, mesh, y_axis: str = "y",
-    *, interpret: bool | None = None,
+    k_outer: int | None = None, *, interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in twin of halo.relax_sharded: outer x inner relaxation on
     bucket arrays with rows sharded over ``y_axis``, halo exchange via
     in-kernel ring RDMA. Returns (du, dv) at bucket shape.
+
+    k_outer > 1 (default: envcache.halo_k_outer()) fuses k outer
+    iterations per RDMA exchange with a k*(inner+1)-row halo and
+    redundant in-margin recompute — identical valid-region numerics for
+    any k (see parallel.halo.relax_sharded). The in-block upkeep is the
+    unchanged per-outer maintain1 + top_fill (which re-imposes the
+    global-top mirror row without an exchange).
 
     interpret=None auto-selects: Mosaic on a TPU mesh, Pallas interpret
     mode (which executes the remote copies + semaphores across the
     virtual devices) elsewhere."""
     from jax import shard_map
 
+    from tpuflow.utils.envcache import halo_k_outer
+
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
 
+    k_fuse = k_outer if k_outer is not None else halo_k_outer()
     (cw, ch, _, _, div2hx, div2hy, _, _, a_hx2, a_hy2) = sc[:10]
     hb, wb = u.shape
     n_y = mesh.shape[y_axis]
-    halo = _halo_rows(cfg)
+    halo = _halo_rows(cfg, k_fuse)
     s_rows = hb // n_y
     grey = cfg.data_constancy == DataConstancy.GREY
 
@@ -328,11 +344,20 @@ def relax_sharded_kernel(
                 dst_du[:] = new_du
                 dst_dv[:] = new_dv
 
-            def outer_body(_, carry):
+            def outer_body(i, carry):
                 maintain1(dup)
                 maintain1(dvp)
-                barrier()                  # neighbors done reading halos
-                exchange([dup, dvp], isend, irecv)
+
+                @pl.when(jax.lax.rem(i, k_fuse) == 0)
+                def _exchange_block():
+                    # Once per k_fuse fused outers (uniform predicate:
+                    # i and k_fuse agree across shards, so the barrier
+                    # and DMA counts stay consistent ring-wide).
+                    barrier()              # neighbors done reading halos
+                    exchange([dup, dvp], isend, irecv)
+
+                # Per-outer boundary upkeep (exchange or not): zeros +
+                # the adjacent mirror row in the global-top halo.
                 top_fill(dup, True)
                 top_fill(dvp, True)
                 du_sh, dv_sh = prologue()

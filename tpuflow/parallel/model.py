@@ -12,15 +12,22 @@ and prices each level as
     t_compute  = t1 * (s_rows + 2*halo) / hb        (redundant-halo split)
     t_comm     = msgs * latency + bytes / bandwidth  (per ring direction)
 
-with the exact per-level message/byte counts of each path:
+with the exact per-level message/byte counts of each path, including the
+k-outer halo fusion knob (TPUFLOW_HALO_K / the k_outer parameter of
+parallel.halo.relax_sharded and parallel.halo_kernel.relax_sharded_kernel):
+one exchange of a k*(inner+1)-row halo per k fused outer iterations, with
+k*(inner+1) extra rows of redundant compute per side. Valid-region
+numerics are BIT-IDENTICAL for any k (pinned by test_halo.py /
+test_halo_kernel.py), so k is a pure latency-vs-redundancy trade the
+model can optimize over:
 
-  explicit (parallel/halo.py): (n_const + 2) fields x 2 ppermutes of an
-    (inner+1)-row halo once per level, plus 2 fields x 2 ppermutes per
-    outer iteration; every ppermute also pays an XLA collective-dispatch
-    overhead (`dispatch_s`).
+  explicit (parallel/halo.py): (n_const + 2) fields x 2 ppermutes of the
+    k-widened halo once per level, plus 2 fields x 2 ppermutes per
+    EXCHANGE (= ceil(outer/k) of them); every ppermute also pays an XLA
+    collective-dispatch overhead (`dispatch_s`).
   kernel (parallel/halo_kernel.py): same once-per-level constant volume
     (halo rounded up to the 8-sublane tile), 2 fields x 2 RDMA messages
-    + 2 barrier semaphore signals per outer, at bare hop latency — no
+    + 2 barrier semaphore signals per EXCHANGE, at bare hop latency — no
     XLA dispatch.
   replicated: t_level(n) = t1 (buckets under the gates run unsharded).
 
@@ -51,84 +58,217 @@ def _n_const_fields(cfg: FlowConfig) -> int:
     return 5 if cfg.data_constancy == DataConstancy.GREY else 10
 
 
+def _halo_rows(cfg: FlowConfig, path: str, k: int) -> int:
+    halo = k * (cfg.inner_iterations_count + 1)
+    if path == "kernel":
+        halo = -(-halo // 8) * 8
+    return halo
+
+
 def level_comm_cost(
-    hb: int, wb: int, cfg: FlowConfig, n_y: int, path: str, ici: ICIParams
+    hb: int, wb: int, cfg: FlowConfig, n_y: int, path: str, ici: ICIParams,
+    k: int = 1,
 ) -> float:
     """Seconds of halo-exchange cost for ONE level on one shard (both
     ring directions run concurrently on separate links, so cost is the
     per-direction maximum = one direction's volume)."""
     outer = cfg.outer_iterations_count
+    n_exchanges = -(-outer // k)
+    halo = _halo_rows(cfg, path, k)
+    row_bytes = halo * wb * 4
     if path == "explicit":
-        halo = cfg.inner_iterations_count + 1
-        row_bytes = halo * wb * 4
-        # (n_cf + u + v) once, (du, dv) per outer; 1 ppermute per field
-        # per direction.
+        # (n_cf + u + v) once, (du, dv) per exchange; 1 ppermute per
+        # field per direction.
         n_once = _n_const_fields(cfg) + 2
-        msgs = n_once + 2 * outer
+        msgs = n_once + 2 * n_exchanges
         per_msg = ici.dispatch_s + ici.hop_latency_s + row_bytes / ici.bandwidth_bytes_s
         return msgs * per_msg
     if path == "kernel":
-        halo = -(-(cfg.inner_iterations_count + 1) // 8) * 8
-        row_bytes = halo * wb * 4
-        # once: consts (incl u, v) RDMA; per outer: du+dv RDMA + 2
+        # once: consts (incl u, v) RDMA; per exchange: du+dv RDMA + 2
         # barrier semaphore signals.
         msgs_once = _n_const_fields(cfg) + 2
         per_rdma = ici.hop_latency_s + row_bytes / ici.bandwidth_bytes_s
-        per_outer = 2 * per_rdma + 2 * ici.hop_latency_s
-        return msgs_once * per_rdma + outer * per_outer
+        per_exchange = 2 * per_rdma + 2 * ici.hop_latency_s
+        return msgs_once * per_rdma + n_exchanges * per_exchange
     raise ValueError(path)
 
 
 def level_sharded_time(
     t1_s: float, hb: int, wb: int, cfg: FlowConfig, n_y: int, path: str,
-    ici: ICIParams,
+    ici: ICIParams, k: int = 1,
 ) -> Tuple[float, str]:
     """(projected seconds on n_y shards, resolved path) for one level.
 
     Applies the real gates: the kernel path falls back to explicit, and
     both fall back to replication, exactly as
-    solver.bucketed.compiled_full_pipeline_sharded routes."""
+    solver.bucketed.compiled_full_pipeline_sharded routes (with the same
+    k the gates see via their k_outer parameter)."""
     from tpuflow.parallel.halo import halo_applicable
     from tpuflow.parallel.halo_kernel import kernel_halo_applicable
 
     resolved = path
-    if path == "kernel" and not kernel_halo_applicable(hb, wb, n_y, cfg):
+    if path == "kernel" and not kernel_halo_applicable(hb, wb, n_y, cfg,
+                                                       k_outer=k):
         resolved = "explicit"
-    if resolved == "explicit" and not halo_applicable(hb, n_y, cfg):
+    if resolved == "explicit" and not halo_applicable(hb, n_y, cfg, k_outer=k):
         return t1_s, "replicated"
-    if resolved == "explicit":
-        halo = cfg.inner_iterations_count + 1
-    else:
-        halo = -(-(cfg.inner_iterations_count + 1) // 8) * 8
+    halo = _halo_rows(cfg, resolved, k)
     s_rows = hb // n_y
     compute = t1_s * (s_rows + 2 * halo) / hb
-    return compute + level_comm_cost(hb, wb, cfg, n_y, resolved, ici), resolved
+    return compute + level_comm_cost(hb, wb, cfg, n_y, resolved, ici, k), resolved
 
 
 def project_schedule(
     levels: Sequence[Tuple[int, int, float]], cfg: FlowConfig, n_y: int,
-    path: str = "kernel", ici: ICIParams = ICIParams(),
+    path: str = "kernel", ici: ICIParams = ICIParams(), k: int = 1,
 ) -> dict:
     """Project total sharded time for a [(hb, wb, t1_seconds), ...]
     schedule. Returns totals, speedup vs sum(t1) and linear-scaling
-    efficiency (= speedup / n_y), plus the per-path level counts."""
+    efficiency (= speedup / n_y), the per-path level counts, and the
+    Amdahl decomposition the round-3 verdict asked for: how the
+    projected time splits between replicated levels (the coarse tail —
+    unscaled serial fraction), sharded compute, and communication, plus
+    `eff_if_tail_free` = the efficiency this schedule would reach if the
+    replicated tail cost nothing (the dp x sp hybrid's upper bound: on a
+    ('data', 'y') mesh the tail can run data-parallel across the y rows'
+    chips, so its cost amortizes over batched pairs)."""
     t1_total = sum(t for _, _, t in levels)
     tn_total = 0.0
+    t_repl = 0.0        # replicated (Amdahl serial) share of tn
+    t_comm = 0.0        # collective share of tn
+    t_shard = 0.0       # sharded-compute share of tn
     counts: dict = {}
     for hb, wb, t1 in levels:
-        tn, resolved = level_sharded_time(t1, hb, wb, cfg, n_y, path, ici)
+        tn, resolved = level_sharded_time(t1, hb, wb, cfg, n_y, path, ici, k)
         tn_total += tn
         counts[resolved] = counts.get(resolved, 0) + 1
+        if resolved == "replicated":
+            t_repl += tn
+        else:
+            c = level_comm_cost(hb, wb, cfg, n_y, resolved, ici, k)
+            t_comm += c
+            t_shard += tn - c
     speedup = t1_total / tn_total if tn_total else float("inf")
+    # Replicated levels cost exactly their single-chip time (t_repl), so
+    # removing the tail from BOTH sides isolates the sharded levels'
+    # scaling quality: (t1 - t_repl) / (tn - t_repl) / n.
+    tail_free = tn_total - t_repl
+    eff_tail_free = (
+        (t1_total - t_repl) / tail_free / n_y if tail_free else float("inf")
+    )
     return {
         "n_y": n_y,
         "path": path,
+        "k": k,
         "t1_ms": round(t1_total * 1e3, 3),
         "tn_ms": round(tn_total * 1e3, 3),
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / n_y, 3),
         "levels": counts,
+        # Amdahl decomposition of tn (seconds -> ms):
+        "tn_replicated_ms": round(t_repl * 1e3, 3),
+        "tn_comm_ms": round(t_comm * 1e3, 3),
+        "tn_sharded_compute_ms": round(t_shard * 1e3, 3),
+        "eff_if_tail_free": round(eff_tail_free, 3),
     }
+
+
+def estimate_level_t1(hb: int, wb: int, cfg: FlowConfig) -> float:
+    """Calibrated single-chip per-level cost estimate in seconds.
+
+    Anchored to the round-3 measured breakdown (BASELINE.md, fence-free
+    slope timing): coarse levels 42 us at the (64, 128) bucket, fine
+    levels ~1.0 ms at (448, 640) under the default 40x(1+5) schedule.
+    Linear in pixels (the relaxation, which scales with the pass count)
+    plus a fixed per-level floor (resample matmuls + glue, which does
+    not). Used by plan_level when no measured t1 is supplied; a
+    calibration heuristic, not a measurement."""
+    passes = cfg.outer_iterations_count * (1 + cfg.inner_iterations_count)
+    return 14e-6 + 3.45e-9 * hb * wb * (passes / 240.0)
+
+
+_PLAN_KS = (1, 2, 4, 5, 8, 10, 20, 40)
+
+
+def plan_level(
+    hb: int, wb: int, cfg: FlowConfig, n_y: int,
+    ici: ICIParams = ICIParams(), t1: float | None = None,
+    paths: Sequence[str] = ("kernel", "explicit"),
+    ks: Sequence[int] = _PLAN_KS,
+) -> Tuple[str, int, float]:
+    """Cheapest (path, k, projected_seconds) for ONE level: replicate vs
+    each sharded path x fusion factor, honoring the real gates.
+
+    This is the cost-based router behind halo="auto"
+    (solver.bucketed.compiled_full_pipeline_sharded): round 3 sharded
+    every level its gates admitted, which priced mid-pyramid levels
+    ABOVE their replicated cost (per-outer exchange latency > the
+    sharding gain) — the projected 1080p n=4 kernel efficiency was 72%.
+    Choosing replicate-vs-shard and k per level lifts the same
+    projection to ~89% (round-4 sweep; valid-region numerics are
+    k-invariant and path-invariant, so the router changes cost only)."""
+    t1 = estimate_level_t1(hb, wb, cfg) if t1 is None else t1
+    best = (t1, "replicated", 1)
+    for path in paths:
+        for k in ks:
+            tt, resolved = level_sharded_time(t1, hb, wb, cfg, n_y, path,
+                                              ici, k)
+            if resolved == path and tt < best[0]:
+                best = (tt, path, k)
+    return best[1], best[2], best[0]
+
+
+def project_schedule_auto(
+    levels: Sequence[Tuple[int, int, float]], cfg: FlowConfig, n_y: int,
+    ici: ICIParams = ICIParams(), paths: Sequence[str] = ("kernel", "explicit"),
+) -> dict:
+    """project_schedule with the halo="auto" router: per-level cheapest
+    (path, k). Returns the same totals plus the per-bucket plan."""
+    t1_total = sum(t for _, _, t in levels)
+    tn_total = 0.0
+    t_repl = 0.0
+    counts: dict = {}
+    plan: dict = {}
+    for hb, wb, t1 in levels:
+        path, k, tt = plan_level(hb, wb, cfg, n_y, ici, t1, paths)
+        tn_total += tt
+        counts[path] = counts.get(path, 0) + 1
+        plan[f"{hb}x{wb}"] = f"{path}@k={k}" if path != "replicated" else path
+        if path == "replicated":
+            t_repl += tt
+    speedup = t1_total / tn_total if tn_total else float("inf")
+    tail_free = tn_total - t_repl
+    return {
+        "n_y": n_y,
+        "path": "auto",
+        "t1_ms": round(t1_total * 1e3, 3),
+        "tn_ms": round(tn_total * 1e3, 3),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / n_y, 3),
+        "levels": counts,
+        "tn_replicated_ms": round(t_repl * 1e3, 3),
+        "eff_if_tail_free": round(
+            (t1_total - t_repl) / tail_free / n_y if tail_free else float("inf"),
+            3),
+        "plan": plan,
+    }
+
+
+def best_k(
+    levels: Sequence[Tuple[int, int, float]], cfg: FlowConfig, n_y: int,
+    path: str = "kernel", ici: ICIParams = ICIParams(),
+    ks: Sequence[int] = (1, 2, 4, 5, 8, 10, 20, 40),
+) -> dict:
+    """Sweep the k-outer fusion factor and return the best projection
+    (ties -> smallest k). The real pipeline applies the chosen k via
+    TPUFLOW_HALO_K; numerics are k-invariant so this is purely a
+    performance knob."""
+    best = None
+    for k in ks:
+        r = project_schedule(levels, cfg, n_y, path, ici, k)
+        if best is None or r["tn_ms"] < best["tn_ms"]:
+            best = r
+    return best
 
 
 def rub_default_levels(
