@@ -57,6 +57,21 @@ def test_settings_mode(tmp_path):
     assert (out / "res.pgm").read_bytes().startswith(b"P6 \n32 24 \n255\n")
 
 
+def test_warp_report_flag(tmp_path, capsys):
+    """--warp-report prints per-level warp-branch telemetry alongside
+    the normal outputs (gentle motion -> all levels on the fast path)."""
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    make_frames(str(inp))
+    settings = tmp_path / "settings.xml"
+    settings.write_text(SETTINGS_TMPL.format(inp=inp, out=out))
+
+    assert main([str(settings), "--warp-report"]) == 0
+    text = capsys.readouterr().out
+    assert "warp-report: every level on the +-D fast path" in text
+
+
 def test_positional_mode_with_counter(tmp_path):
     make_frames(str(tmp_path))
     out = tmp_path / "out"

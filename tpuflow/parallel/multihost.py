@@ -74,6 +74,8 @@ def process_sequence(
     resume: bool = True,
     flow_max_scale: float = 10.0,
     chain: int = 1,
+    mesh=None,
+    data_axis: str = "data",
 ) -> List[str]:
     """Stream a sequence of frame-pair files through the solver.
 
@@ -99,6 +101,17 @@ def process_sequence(
     whole unrolled pipeline in a while loop and defeats XLA's scheduling
     around the per-level Mosaic kernels. Chunking only the FETCH keeps
     the fast program.)
+
+    mesh: DATA-PARALLEL streaming (multi-chip dp soak, round-4 verdict
+    item #8): groups of B = mesh.shape[data_axis] pairs are solved as
+    ONE compute_flow_bucketed_batch dispatch (shard_map — each chip runs
+    the full single-pair engine on its own pair), fetched in one round
+    trip, written and manifest-recorded per pair. A run killed
+    mid-stream resumes exactly: the manifest holds only fully-written
+    pairs, the resume filter drops them BEFORE re-grouping, so the
+    remaining pairs complete exactly once (groups re-form over the
+    remainder). Mutually exclusive with chain>1 (chain amortizes fetch
+    round trips on ONE chip; mesh amortizes across chips).
     """
     import time
 
@@ -162,6 +175,31 @@ def process_sequence(
                                 os.path.join(output_dir, f"{pair_id}amp{suffix}"))
             manifest.record(pair_id, per_pair)
             completed.append(pair_id)
+
+    if mesh is not None and my_pairs:
+        from tpuflow.solver.bucketed import compute_flow_bucketed_batch
+
+        B = mesh.shape[data_axis]
+        with FrameLoader(files, width, height) as loader, \
+                ThreadPoolExecutor(max_workers=1) as writer:
+            futures = []
+            for c0 in range(0, len(my_pairs), B):
+                group = my_pairs[c0:c0 + B]
+                t_submit = time.perf_counter()
+                # The loader yields f0_0, f1_0, f0_1, f1_1, ... in order.
+                frames = [loader.next() for _ in range(2 * len(group))]
+                f0s = np.stack(frames[0::2])
+                f1s = np.stack(frames[1::2])
+                U, V = compute_flow_bucketed_batch(
+                    f0s, f1s, cfg, mesh=mesh, data_axis=data_axis)
+                ids = [pid_ for pid_, _, _ in group]
+                futures.append(writer.submit(
+                    drain_chunk, (ids, jnp.stack([U, V]), t_submit)))
+                if len(futures) >= 2:
+                    futures.pop(0).result()
+            for f in futures:
+                f.result()
+        return completed
 
     if chain > 1 and my_pairs:
         with FrameLoader(files, width, height) as loader, \
