@@ -56,9 +56,13 @@ STREAM_PASSES_PER_SWEEP = 11   # du/dv in (2) + term windows (7) + out (2)
 
 
 def slope_time(call, k_lo, k_hi, rounds, arg):
+    """K-slope of round-medians, ARM-ORDER ROTATED per round (CLAUDE.md
+    measurement trap #4: the first arm of a fixed-order round pays a
+    ~1.28x pool transient)."""
     ts = {k_lo: [], k_hi: []}
-    for _ in range(rounds):
-        for k in (k_lo, k_hi):
+    for r in range(rounds):
+        order = (k_lo, k_hi) if r % 2 == 0 else (k_hi, k_lo)
+        for k in order:
             t0 = time.perf_counter()
             np.asarray(call(arg, k))
             ts[k].append(time.perf_counter() - t0)
@@ -72,13 +76,18 @@ def hbm_stream_rate(k_lo, k_hi, rounds):
     from functools import partial
 
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.random((HB4K, WB4K), np.float32))
-    n_ops = 16   # ops per chained call
+    a = jnp.asarray(rng.random((HB4K, WB4K), np.float32) + 0.5)
+    # Long chains: at ~100 GB/s-class rates one 4K-bucket op is ~0.1-1 ms,
+    # far below the ~64 ms fence + pool noise; 128 ops/k-unit puts the
+    # k_hi-k_lo delta in the hundreds of ms where the slope is resolvable.
+    n_ops = 128
 
     @partial(jax.jit, static_argnums=1)
     def chain(x, k):
         for _ in range(k * n_ops):
-            x = x + a
+            # fma with a data-dependent multiplier: not reassociable or
+            # strength-reducible across iterations; still 2 reads+1 write.
+            x = x * 0.9999 + a
         return x
 
     np.asarray(chain(a, k_lo))
