@@ -68,3 +68,41 @@ def test_batched_small_images_replicate_spatially():
     for i in range(b):
         res = compute_flow(f0[i], f1[i], CFG)
         assert endpoint_error(U[i], V[i], res.u, res.v) < 1e-5
+
+
+def test_hybrid_dp_tail_sp_fine_matches_unsharded():
+    """dp x sp hybrid (round-4, the coarse-tail Amdahl mitigation):
+    coarse tails run one-pair-per-chip, fine levels row-shard over all
+    chips, pairs sequential — per-pair flow must match the unsharded
+    solve within the documented cross-program band. split_group=1
+    forces both phases on the tiny test pyramid (the router would
+    replicate everything at this size)."""
+    from tpuflow.parallel.hybrid import compute_flow_bucketed_hybrid
+    from tpuflow.solver.bucketed import compute_flow_bucketed_async
+
+    h, w = 120, 140
+    b = 8
+    f0, f1 = make_batch(b, h, w)
+    mesh = make_mesh((1, 8))
+    U, V = compute_flow_bucketed_hybrid(f0, f1, CFG, mesh=mesh,
+                                        split_group=1)
+    U, V = np.asarray(U), np.asarray(V)
+    assert U.shape == (b, h, w) and np.isfinite(U).all()
+    for i in range(b):
+        u1, v1 = compute_flow_bucketed_async(f0[i], f1[i], CFG)
+        e = endpoint_error(U[i], V[i], np.asarray(u1), np.asarray(v1))
+        assert e <= 1e-4, (i, e)
+
+
+def test_hybrid_pads_ragged_batch():
+    """B not divisible by the axis size: padded by repeating the last
+    pair, trimmed after."""
+    from tpuflow.parallel.hybrid import compute_flow_bucketed_hybrid
+
+    h, w = 120, 140
+    f0, f1 = make_batch(5, h, w)
+    mesh = make_mesh((1, 8))
+    U, V = compute_flow_bucketed_hybrid(f0, f1, CFG, mesh=mesh,
+                                        split_group=1)
+    assert np.asarray(U).shape == (5, h, w)
+    assert np.isfinite(np.asarray(U)).all()
