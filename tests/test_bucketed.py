@@ -395,10 +395,13 @@ def test_warp_report_pipeline():
 
     u2, v2, rep2 = compute_flow_warp_report(blobs(0), blobs(6.5), cfg)
     assert rep2["n_wide"] >= 1, rep2
-    # Telemetry is a separate program; production output is unchanged.
+    # Telemetry is a SEPARATE compiled program (extra outputs can change
+    # fusion choices), so bound mean EPE per the repo's cross-program
+    # rule rather than asserting bitwise equality.
     up, vp = compute_flow_bucketed_async(blobs(0), blobs(6.5), cfg)
-    np.testing.assert_array_equal(np.asarray(u2), np.asarray(up))
-    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vp))
+    epe = np.hypot(np.asarray(u2) - np.asarray(up),
+                   np.asarray(v2) - np.asarray(vp)).mean()
+    assert epe <= 1e-5, epe
 
 
 def test_vmem_overflow_falls_back_to_xla(monkeypatch):

@@ -49,15 +49,23 @@ def fence(x):
 
 
 def time_best(fn, reps=4, k=8):
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = fn()
-        fence(out[0])
-        best = min(best, (time.perf_counter() - t0) / k)
-    return best
+    """Per-call seconds via the K-SLOPE with arm-order rotation — NOT
+    divide-by-K, which leaves (fence + result download)/K in every number
+    (the CLAUDE.md measurement trap that fired three times; round-4
+    code-review caught this tool still using it)."""
+    k_lo, k_hi = max(1, k // 4), k
+    ts = {k_lo: [], k_hi: []}
+    for r in range(reps):
+        order = (k_lo, k_hi) if r % 2 == 0 else (k_hi, k_lo)
+        for kk in order:
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(kk):
+                out = fn()
+            fence(out[0])
+            ts[kk].append(time.perf_counter() - t0)
+    med = {kk: sorted(v)[len(v) // 2] for kk, v in ts.items()}
+    return (med[k_hi] - med[k_lo]) / (k_hi - k_lo)
 
 
 def project():

@@ -77,17 +77,20 @@ def hbm_stream_rate(k_lo, k_hi, rounds):
 
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.random((HB4K, WB4K), np.float32) + 0.5)
-    # Long chains: at ~100 GB/s-class rates one 4K-bucket op is ~0.1-1 ms,
-    # far below the ~64 ms fence + pool noise; 128 ops/k-unit puts the
+    # Long chains: at HBM-class rates one 4K-bucket op is ~0.1-1 ms, far
+    # below the ~64 ms fence + pool noise; 128 ops/k-unit puts the
     # k_hi-k_lo delta in the hundreds of ms where the slope is resolvable.
     n_ops = 128
 
     @partial(jax.jit, static_argnums=1)
     def chain(x, k):
         for _ in range(k * n_ops):
-            # fma with a data-dependent multiplier: not reassociable or
-            # strength-reducible across iterations; still 2 reads+1 write.
-            x = x * 0.9999 + a
+            # optimization_barrier: without it XLA fuses the WHOLE chain
+            # into one kLoop fusion (one read of x/a, one write) and the
+            # measurement becomes VPU fma issue, not HBM streaming
+            # (round-4 code-review finding, verified on this toolchain).
+            # The barrier forces each op to materialize: 2 reads+1 write.
+            x = jax.lax.optimization_barrier(x * 0.9999 + a)
         return x
 
     np.asarray(chain(a, k_lo))

@@ -32,8 +32,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
@@ -118,11 +116,9 @@ def compiled_full_pipeline_hybrid(
         s = gaussian_smooth(f, cfg.gaussian_sigma)
         return jnp.zeros((h0b, w0b), jnp.float32).at[:h0, :w0].set(s)
 
-    def tail_one(f0, f1):
-        """Presmooth + the replicate-planned groups of ONE pair, fully
-        local (the unsharded engine — phase A's per-chip body)."""
-        f0s = smooth_pad(f0)
-        f1s = smooth_pad(f1)
+    def tail_one(f0s, f1s):
+        """The replicate-planned groups of ONE pair (already smoothed +
+        padded), fully local — phase A's per-chip body."""
         u = jnp.zeros((h0b, w0b), jnp.float32)
         v = jnp.zeros_like(u)
         for bucket, stacked in groups[:g0]:
@@ -137,6 +133,12 @@ def compiled_full_pipeline_hybrid(
 
     @jax.jit
     def run(F0, F1):
+        # Presmooth ONCE per pair; both phases consume the same smoothed
+        # stacks (phase A's copies can't be CSE'd across the shard_map
+        # boundary — round-4 code-review finding).
+        F0S = jnp.stack([smooth_pad(F0[i]) for i in range(B)])
+        F1S = jnp.stack([smooth_pad(F1[i]) for i in range(B)])
+
         # ---- phase A: coarse tails, one pair per chip ----------------
         if g0 > 0:
             def tail_body(f0b, f1b):
@@ -149,7 +151,7 @@ def compiled_full_pipeline_hybrid(
                 in_specs=(P(y_axis, None, None),) * 2,
                 out_specs=(P(y_axis, None, None),) * 2,
                 check_vma=False,
-            )(F0, F1)
+            )(F0S, F1S)
         else:
             U = jnp.zeros((B, h0b, w0b), jnp.float32)
             V = jnp.zeros_like(U)
@@ -157,8 +159,8 @@ def compiled_full_pipeline_hybrid(
         # ---- phase B: fine levels, rows over all chips, pair by pair -
         out_u, out_v = [], []
         for bidx in range(B):
-            f0s = constrain(smooth_pad(F0[bidx]), None)
-            f1s = constrain(smooth_pad(F1[bidx]), None)
+            f0s = constrain(F0S[bidx], None)
+            f1s = constrain(F1S[bidx], None)
             u = constrain(U[bidx], None)
             v = constrain(V[bidx], None)
             for bucket, stacked in groups[g0:]:

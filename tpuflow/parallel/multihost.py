@@ -176,6 +176,19 @@ def process_sequence(
             manifest.record(pair_id, per_pair)
             completed.append(pair_id)
 
+    if mesh is not None and chain > 1:
+        raise ValueError(
+            "process_sequence: mesh= and chain> 1 are mutually exclusive "
+            "(mesh amortizes across chips, chain across fetch round trips)")
+    if mesh is not None and pcount > 1:
+        # Each process's my_pairs is a DIFFERENT index-sharded stack;
+        # device_put-ing it as the global batch over a multi-host mesh
+        # would compute the wrong pairs and produce non-addressable
+        # results. Multi-process runs shard by INDEX (the default path);
+        # the mesh mode is the single-process multi-chip soak.
+        raise ValueError(
+            "process_sequence: mesh= requires a single-process runtime "
+            "(multi-host runs already shard pairs by process index)")
     if mesh is not None and my_pairs:
         from tpuflow.solver.bucketed import compute_flow_bucketed_batch
 
