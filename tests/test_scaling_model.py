@@ -112,3 +112,24 @@ def test_efficiency_definition():
     r = project_schedule(rub_default_levels(), cfg, 4, "explicit")
     assert r["efficiency"] == pytest.approx(r["speedup"] / 4, abs=1e-3)
     assert sum(r["levels"].values()) == 47
+
+
+def test_hybrid_split_matches_router():
+    """The hybrid pipeline's tail/fine boundary must agree with the
+    router: on the 1080p schedule at n=8 the split leaves a non-empty
+    dp tail (coarse groups the router replicates) and a non-empty sp
+    fine section."""
+    from tpuflow.parallel.hybrid import hybrid_split_group
+    from tpuflow.solver.bucketed import _level_groups, level_schedule
+
+    cfg = FlowConfig()
+    specs = level_schedule(1920, 1080, cfg.warp_levels_count,
+                          cfg.warp_scale_factor)
+    groups = _level_groups(specs, 1920, 1080, cfg)
+    g0 = hybrid_split_group(groups, cfg, 8)
+    assert 0 < g0 < len(groups), (g0, len(groups))
+    from tpuflow.parallel.model import plan_level
+
+    for bucket, _ in groups[:g0]:
+        assert plan_level(bucket[0], bucket[1], cfg, 8)[0] == "replicated"
+    assert plan_level(*groups[g0][0], cfg, 8)[0] != "replicated"
