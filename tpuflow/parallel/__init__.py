@@ -10,8 +10,14 @@ this package is new TPU-native design per SURVEY.md §2.7:
     partitions the shift-and-pad stencils automatically; the explicit
     shard_map + ppermute path is used by the Pallas kernels);
   * replicate-below-threshold — coarse levels smaller than the mesh run
-    replicated instead of sharded.
+    replicated instead of sharded;
+  * cost-based routing — halo="auto" picks the cheapest of
+    {replicate, explicit@k, kernel@k} per level (parallel.model);
+  * the dp x sp hybrid — coarse tails one-pair-per-chip, fine levels
+    row-sharded (parallel.hybrid), amortizing the Amdahl tail over a
+    batch.
 """
 
 from tpuflow.parallel.mesh import make_mesh  # noqa: F401
 from tpuflow.parallel.batch import compute_flow_batched  # noqa: F401
+from tpuflow.parallel.hybrid import compute_flow_bucketed_hybrid  # noqa: F401
