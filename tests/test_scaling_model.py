@@ -128,8 +128,9 @@ def test_hybrid_split_matches_router():
     groups = _level_groups(specs, 1920, 1080, cfg)
     g0 = hybrid_split_group(groups, cfg, 8)
     assert 0 < g0 < len(groups), (g0, len(groups))
-    from tpuflow.parallel.model import plan_level
-
-    for bucket, _ in groups[:g0]:
-        assert plan_level(bucket[0], bucket[1], cfg, 8)[0] == "replicated"
-    assert plan_level(*groups[g0][0], cfg, 8)[0] != "replicated"
+    # Independent structural property (not a re-run of the router): the
+    # dp tail consists of strictly coarser buckets than every sharded
+    # fine group — the split is a coarse/fine boundary, not arbitrary.
+    tail_max_area = max(b[0] * b[1] for b, _ in groups[:g0])
+    fine_min_area = min(b[0] * b[1] for b, _ in groups[g0:])
+    assert tail_max_area < fine_min_area, (tail_max_area, fine_min_area)

@@ -10,12 +10,15 @@ This tool produces the missing absolute accounting:
    HBM bandwidth on THIS chip, measured the same K-slope way as
    everything else (one fence per chain, slope of round-medians).
 
-2. du-STREAMED per-sweep cost at the 4K fine bucket (2176, 3968) by
-   config-differencing (inner=5 vs inner=2 level chains, slope): every
-   sweep streams ~11 field passes through HBM (du/dv slabs in, 7 term
-   windows in, du/dv chunks out — relax_du._relax_du_streamed), so its
-   HBM-traffic bound is 11 * bucket_bytes / measured_bandwidth. The
-   printed pct_of_hbm_roofline is the BASELINE.md deliverable.
+2. du-STREAMED level cost at the 4K fine bucket (2176, 3968): every
+   sweep streams 11.5 field passes through HBM (du/dv slabs in at 2.5,
+   7 term windows in, du/dv chunks out — counted from
+   relax_du._relax_du_streamed's DMA schedule) and each outer adds a
+   15-pass prologue, so the PER-LEVEL HBM-traffic bound is
+   40*(15 + inner*11.5) * bucket_bytes / measured_bandwidth. The
+   printed level_4k_innerN_pct_of_hbm_roofline keys are the BASELINE.md
+   deliverable (the inner-differenced per-sweep split is also printed,
+   with a pool-noise caveat).
 
 3. du-CHUNKED per-sweep cost at the 1080p fine bucket (1088, 2048),
    against two bounds: the VPU-issue floor scaled from the measured rub
@@ -26,8 +29,8 @@ This tool produces the missing absolute accounting:
 4. 4K end-to-end decomposition: the capability pipeline at inner=5 vs
    inner=2 (TPUFLOW_UNROLL=0, the 4K production configuration) — the
    difference is 3 x outer sweeps across every level, giving the
-   relax-sweep share of the 1211.7 ms pair; the rest is prologue +
-   warp/median/resample/glue.
+   relax-sweep share of the ~1.0 s pair (round-4 measurement; 59%);
+   the rest is prologue + warp/median/resample/glue.
 
 Usage: python tools/roofline_big.py [K_lo K_hi rounds] [--skip-e2e]
        (defaults 2 6 5; e2e adds two slow 4K pipeline compiles)
