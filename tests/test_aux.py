@@ -189,3 +189,18 @@ def test_timer_and_level_table():
     lines = table.splitlines()
     assert len(lines) == 3
     assert "584x388" in lines[1] and "Mpix/s" in lines[0]
+
+
+def test_process_sequence_mesh_chain_mutually_exclusive(tmp_path):
+    """mesh= and chain>1 are different amortization strategies (chips vs
+    fetch round trips) — passing both is a config error, not a silent
+    preference."""
+    import jax
+
+    from tpuflow.parallel import make_mesh
+
+    pairs = make_seq(str(tmp_path))
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        process_sequence(pairs, 24, 16, str(tmp_path / "o"), CFG,
+                         mesh=mesh, chain=2)
