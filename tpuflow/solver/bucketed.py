@@ -222,7 +222,7 @@ def _warp_coords(u, v, inv_hx, inv_hy, wlim, hlim):
     return invalid, x0, y0, dxq, dyq, w00, w01, w10, w11
 
 
-def warp_small_pred(u, v, inv_hx, inv_hy, wlim, hlim, D: int = None):
+def warp_small_pred(u, v, inv_hx, inv_hy, wlim, hlim, D: int | None = None):
     """True iff every displacement fits the warp fast path's +-D window —
     the exact predicate warp_dyn's internal cond uses, computable from the
     UNMAINTAINED resampled flow (ghost pixels are invalid -> dxq = 0)."""
