@@ -106,3 +106,63 @@ def test_hybrid_pads_ragged_batch():
                                         split_group=1)
     assert np.asarray(U).shape == (5, h, w)
     assert np.isfinite(np.asarray(U)).all()
+
+
+def test_front_door_routing_decisions():
+    """plan_parallel: batches always dp (throughput); singles sp when
+    the cost model says row-sharding beats one chip, else single (pure
+    decision logic, no execution)."""
+    from tpuflow.solver.flow2d import plan_parallel
+
+    cfg = FlowConfig()
+    mesh = make_mesh((1, 8))
+    # Tiny frames: every level replicates -> one chip.
+    assert plan_parallel((64, 72), False, cfg, mesh) == "single"
+    # rub-size and up: the router shards the fine bucket (projected
+    # 2.6x latency speedup at n=8 even at rub size) -> sp.
+    assert plan_parallel((388, 584), False, cfg, mesh) == "sp"
+    assert plan_parallel((1080, 1920), False, cfg, mesh) == "sp"
+    # Batches: dp regardless of size (pairs independent, eff ~1.0).
+    assert plan_parallel((64, 72), True, cfg, mesh) == "dp"
+    assert plan_parallel((1080, 1920), True, cfg, mesh) == "dp"
+    # A mesh with no 'y' parallelism cannot shard rows.
+    mesh_d = make_mesh((8, 1))
+    assert plan_parallel((1080, 1920), False, cfg, mesh_d) == "single"
+
+
+def test_front_door_batch_dp_executes():
+    """compute_flow with a (B, H, W) stack + mesh routes to dp (small
+    frames) and matches per-pair unsharded solves; the ('data','y') mesh
+    is internally flattened so all 8 devices serve the batch axis."""
+    b, h, w = 4, 64, 72
+    f0, f1 = make_batch(b, h, w)
+    mesh = make_mesh((2, 4))
+    res = compute_flow(f0, f1, CFG, mesh=mesh)
+    assert res.u.shape == (b, h, w)
+    for i in range(b):
+        r1 = compute_flow(f0[i], f1[i], CFG)
+        e = np.mean(np.hypot(res.u[i] - r1.u, res.v[i] - r1.v))
+        assert e <= 1e-4, (i, e)
+
+
+def test_front_door_single_small_ignores_mesh():
+    """A small single pair with a mesh routes to the one-chip engine
+    (sharding would cost more than it saves) and matches the meshless
+    call exactly."""
+    h, w = 64, 72
+    f0 = blob(h, w, 30, 36)
+    f1 = blob(h, w, 31, 37)
+    mesh = make_mesh((1, 8))
+    r_mesh = compute_flow(f0, f1, CFG, mesh=mesh)
+    r_none = compute_flow(f0, f1, CFG)
+    assert np.array_equal(r_mesh.u, r_none.u)
+    assert np.array_equal(r_mesh.v, r_none.v)
+
+
+def test_front_door_batch_no_mesh_sequential():
+    b, h, w = 2, 48, 56
+    f0, f1 = make_batch(b, h, w)
+    res = compute_flow(f0, f1, CFG)
+    assert res.u.shape == (b, h, w)
+    r0 = compute_flow(f0[0], f1[0], CFG)
+    assert np.array_equal(res.u[0], r0.u)

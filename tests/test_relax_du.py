@@ -152,3 +152,97 @@ def test_pallas_gate_routes_du(monkeypatch):
     monkeypatch.setenv("TPUFLOW_DU_ITERATE", "0")
     assert not bucketed._pallas_relax_wanted(2176, 3968, cfg)
     assert bucketed._pallas_relax_wanted(1088, 2048, cfg)  # T-chunked fits
+
+
+def test_streamed_fused_sweep0_parity(monkeypatch):
+    """Round-5 lever: the fused-sweep0 streamed kernel vs the unfused
+    sequence on a MULTI-chunk bucket (the chunk-seam stashes are the
+    risky part: chunk i+1 must read pre-sweep iterate rows and the
+    pre-sweep pw_yp row after chunk i was already overwritten in HBM).
+
+    Same operand values + same update expression, but the two traces are
+    DIFFERENT XLA programs, so fma/fusion choices differ at 1 ulp
+    (CLAUDE.md cross-program float-noise band; debugged on a 3-chunk
+    case: term fields bit-identical, du scattered 1.2e-7 max). The pin
+    is therefore a TIGHT absolute bound well below the parity band plus
+    the standard anchor parity, not bitwise equality."""
+    hb, wb, cw, ch = 192, 128, 100, 180   # C=64 -> 3 chunks, valid rows
+    cfg = FlowConfig(outer_iterations_count=3, inner_iterations_count=2)
+    sc = LevelScalars.make(cw, ch, 1.3, 1.2, 35.0, 120, 60, 90, 48).tree()
+    f0, f1, u, v = make_inputs(hb, wb, cw, ch, seed=5)
+
+    monkeypatch.setenv("TPUFLOW_STREAM_FUSE0", "0")
+    du_u, dv_u = run_variant("du", "streamed", f0, f1, u, v, sc, cfg)
+    monkeypatch.setenv("TPUFLOW_STREAM_FUSE0", "1")
+    du_f, dv_f = run_variant("du", "streamed", f0, f1, u, v, sc, cfg)
+
+    d = np.hypot(du_u[:ch, :cw] - du_f[:ch, :cw],
+                 dv_u[:ch, :cw] - dv_f[:ch, :cw])
+    assert d.mean() < MEAN_BOUND and d.max() < MAX_BOUND, (
+        f"fused vs unfused: mean {d.mean():.2e} max {d.max():.2e}")
+
+    # And against the XLA anchor on the valid region.
+    du_a, dv_a = map(
+        np.asarray, _relax_dyn(f0, f1, u, v, sc, cfg, use_pallas=False)
+    )
+    d = np.hypot(du_f[:ch, :cw] - du_a[:ch, :cw],
+                 dv_f[:ch, :cw] - dv_a[:ch, :cw])
+    assert d.mean() < MEAN_BOUND and d.max() < MAX_BOUND, (
+        f"fused streamed vs anchor: mean {d.mean():.2e} max {d.max():.2e}")
+
+
+@pytest.mark.parametrize("inner", [1, 2, 3])
+def test_streamed_fused_inner_parities(inner):
+    """inner=1 makes the fused sweep the ONLY sweep (the post-fusion
+    loop runs zero times); odd/even parities cover the copy-back
+    structure."""
+    hb, wb, cw, ch = 128, 128, 100, 120   # C=64 -> 2 chunks
+    cfg = FlowConfig(outer_iterations_count=2, inner_iterations_count=inner)
+    sc = LevelScalars.make(cw, ch, 1.3, 1.2, 35.0, 120, 60, 90, 48).tree()
+    f0, f1, u, v = make_inputs(hb, wb, cw, ch, seed=7)
+    du_a, dv_a = map(
+        np.asarray, _relax_dyn(f0, f1, u, v, sc, cfg, use_pallas=False)
+    )
+    du, dv = run_variant("du", "streamed", f0, f1, u, v, sc, cfg)
+    d = np.hypot(du[:ch, :cw] - du_a[:ch, :cw],
+                 dv[:ch, :cw] - dv_a[:ch, :cw])
+    assert d.mean() < MEAN_BOUND and d.max() < MAX_BOUND, (
+        f"inner={inner}: mean {d.mean():.2e} max {d.max():.2e}")
+
+
+@pytest.mark.parametrize("ksw", [2, 5])
+def test_streamed_ksweep_parity(monkeypatch, ksw):
+    """Round-5 k-sweep fusion: ksw sweeps per streaming pass (trapezoid
+    wavefront with per-level seam stashes) on a MULTI-chunk bucket at
+    inner=5 — ksw=5 is one pass per outer (single read of
+    iterate+terms), ksw=2 exercises the remainder pass (2+2+1).
+
+    Pins: (a) TIGHT against the ksw=1 sequential layout (same operand
+    values, same expressions — measured identical on this case; the
+    bound allows only cross-program fma noise), (b) against the XLA
+    anchor at the random-field band. The anchor max bound is wider than
+    the parity matrix's: 3 outers x inner=5 amplifies the documented
+    1-ulp chaos to ~2.7e-2 at isolated phi-sensitive pixels — verified
+    IDENTICAL for ksw=1 (the round-4 layout) on this seed, i.e. it is
+    an anchor-vs-kernel property, not a fusion artifact."""
+    hb, wb, cw, ch = 192, 128, 100, 180   # C=64 -> 3 chunks
+    cfg = FlowConfig(outer_iterations_count=3, inner_iterations_count=5)
+    sc = LevelScalars.make(cw, ch, 1.3, 1.2, 35.0, 120, 60, 90, 48).tree()
+    f0, f1, u, v = make_inputs(hb, wb, cw, ch, seed=11)
+    du_a, dv_a = map(
+        np.asarray, _relax_dyn(f0, f1, u, v, sc, cfg, use_pallas=False)
+    )
+    monkeypatch.setenv("TPUFLOW_STREAM_KSWEEP", "1")
+    du_1, dv_1 = run_variant("du", "streamed", f0, f1, u, v, sc, cfg)
+    monkeypatch.setenv("TPUFLOW_STREAM_KSWEEP", str(ksw))
+    du, dv = run_variant("du", "streamed", f0, f1, u, v, sc, cfg)
+
+    d = np.hypot(du[:ch, :cw] - du_1[:ch, :cw],
+                 dv[:ch, :cw] - dv_1[:ch, :cw])
+    assert d.mean() < MEAN_BOUND and d.max() < 1e-3, (
+        f"ksweep={ksw} vs 1: mean {d.mean():.2e} max {d.max():.2e}")
+
+    d = np.hypot(du[:ch, :cw] - du_a[:ch, :cw],
+                 dv[:ch, :cw] - dv_a[:ch, :cw])
+    assert d.mean() < MEAN_BOUND and d.max() < 5e-2, (
+        f"ksweep={ksw} vs anchor: mean {d.mean():.2e} max {d.max():.2e}")

@@ -21,6 +21,15 @@ sys.path.insert(0, REPO)
 from tpuflow import oracle  # noqa: E402
 from tpuflow.io import read_raw_u8  # noqa: E402
 
+# Reduced schedule for the per-constancy goldens: small enough that the
+# oracle runs in seconds and the on-chip gate compiles in ~a minute,
+# deep enough to exercise the pyramid, warp, medians and all sweep math.
+SMALL_SCHEDULE = dict(
+    warp_levels_count=8, warp_scale_factor=0.7,
+    outer_iterations_count=10, inner_iterations_count=5,
+    equation_alpha=35.0, median_radius=5, gaussian_sigma=1.5,
+)
+
 
 def main():
     for d in (os.path.join(REPO, "data"), "/root/reference/data"):
@@ -38,6 +47,23 @@ def main():
     np.savez_compressed(out, u=u.astype(np.float32), v=v.astype(np.float32))
     print(f"wrote {out} in {time.time() - t0:.1f}s  "
           f"|u|max={np.abs(u).max():.3f} |v|max={np.abs(v).max():.3f}")
+
+    # Per-constancy goldens on the SMALL schedule (round-5 verdict #6:
+    # grad/log were gated on chip only once, in round 2 — these feed
+    # tools/bench_constancy.py's every-round on-chip gate). Clean math
+    # (block_emulation=False): the production path deliberately fixes
+    # the reference grad/log kernels' CUDA-block halo artifacts
+    # (reference src/kernels/solve_2d.cu:813-841; bound in BASELINE.md).
+    for constancy in ("grey", "gradient", "log"):
+        t0 = time.time()
+        u, v = oracle.compute_flow(f0, f1, data_constancy=constancy,
+                                   **SMALL_SCHEDULE)
+        out = os.path.join(REPO, "data", f"oracle_rub_{constancy}_small.npz")
+        np.savez_compressed(
+            out, u=u.astype(np.float32), v=v.astype(np.float32),
+            schedule=np.array(sorted(SMALL_SCHEDULE.items()), dtype=object))
+        print(f"wrote {out} in {time.time() - t0:.1f}s  "
+              f"|u|max={np.abs(u).max():.3f} |v|max={np.abs(v).max():.3f}")
 
 
 if __name__ == "__main__":

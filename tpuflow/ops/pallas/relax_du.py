@@ -59,6 +59,7 @@ ops/pallas/relax_bucket/level_fused, and the parity-matrix tests re-run.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -131,9 +132,10 @@ def _stream_window_fits(wb: int, cfg: FlowConfig, c: int) -> bool:
         + 2 * 2 * c                       # out chunks x 2 slots
         + 4 * (c + 16)                    # u, v, du, dv prologue staging
         + 2 * 7 * c                       # term staging x 2 slots
-        + 2 * 6 * c + 2 * (c + 8)         # sweep term windows x 2 slots
+        + 2 * 6 * (c + 8) + 2 * (c + 16)  # sweep term windows x 2 slots
         + n_const_fields(cfg) * c         # streamed constants
-        + 16 * (c + 6)                    # transients
+        + 33                              # seam stashes (lstash/pstash/pwrow)
+        + 24 * (c + 8)                    # transients (k-sweep wavefront)
     )
     return window_rows * wb * 4 <= VMEM_BUDGET_BYTES
 
@@ -796,6 +798,23 @@ def _relax_du_streamed(
     the mirror rows are substituted by a roll+select before use — the
     only consumer of unmasked ghost values is the phi gradient, exactly
     as in the other variants.
+
+    FUSED SWEEP 0 (round-5; TPUFLOW_STREAM_FUSE0=0 reverts): the first
+    of the inner sweeps runs INSIDE the prologue chunk loop — its term
+    fields are still in the staging buffer (tbuf) and the pre-sweep
+    du/dv chunk is already staged (pbuf), so the whole first sweep costs
+    ZERO extra HBM reads, eliminating one full sweep's input streams
+    (du, dv + 7 term fields = 9 of the ~69 field-streams each outer
+    iteration moves; the sweeps run at 65-69% of the HBM roofline, so
+    stream count is wall-clock — BASELINE.md round-4 accounting).
+    Jacobi needs PRE-sweep neighbor values, and the fused sweep
+    overwrites chunk i in place before chunk i+1's prologue runs, so two
+    small VMEM stashes carry the pre-sweep state across the chunk seam:
+    an 8-row stash per iterate field (chunk i+1's prologue top block —
+    replacing its HBM top-block DMA) and one pw_yp row (chunk i+1's
+    pw_ym derivation). Bit-identical to the unfused sequence: same
+    update expression (sweep_update_du), same operand values (DMA
+    round-trips are bit-preserving), same boundary selects.
     """
     hb, wb = u.shape
     grey = cfg.data_constancy == DataConstancy.GREY
@@ -807,6 +826,25 @@ def _relax_du_streamed(
     assert C is not None, (hb, wb)
     n_chunks = hb // C
     inner = cfg.inner_iterations_count
+    # Fused sweep 0 in the prologue loop: measured 0.88x at the 4K
+    # bucket (the prologue loop has no DMA/compute overlap, so the added
+    # sweep compute costs full price while the saved streams were
+    # already pipelined) — kept as an A/B knob, default OFF.
+    fuse0 = os.environ.get("TPUFLOW_STREAM_FUSE0", "0") == "1"
+    # k-SWEEP fusion (round 5): run min(ksweep, remaining) Jacobi sweeps
+    # per streaming pass with a k-row wavefront (trapezoid) — the
+    # iterate DMA already reads an 8-row bottom block, so every k <= 8
+    # sweeps share ONE read of the iterate and the 7 term fields,
+    # cutting per-outer HBM traffic from 15 + inner*11.5 to
+    # ~15 + ceil(inner/k)*12 field passes. Each level-j row uses exactly
+    # the level-(j-1) values the sequential sweeps would (redundant
+    # k-row recompute at chunk seams, stash for the top halo rows) —
+    # the same value-exact scheme as the sharded k-outer halo fusion
+    # (parallel/halo.py). ksweep=1 is the round-4 behavior.
+    ksweep = int(os.environ.get("TPUFLOW_STREAM_KSWEEP", "5"))
+    ksweep = max(1, min(ksweep, 8, inner))
+    if fuse0:
+        ksweep = 1  # the two fusions' stashes are not composed
     F = np.float32
     e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
     e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
@@ -822,7 +860,8 @@ def _relax_du_streamed(
          pwxp_hbm, pwyp_hbm,                              #  to du0/dv0)
          a12_hbm, bu_hbm, bv_hbm, dnu_hbm, dnv_hbm) = refs[10 + n_const:
                                                            19 + n_const]
-        (pbuf, cbuf, tbuf, sbuf, pwybuf, tin, obuf, stash,
+        (pbuf, cbuf, tbuf, sbuf, pwybuf, tin, obuf, lstash,
+         pstash, pwrow,
          sem_pin, sem_pout, sem_sin, sem_sout) = refs[19 + n_const:]
         term_hbm = (pwxp_hbm, pwyp_hbm, a12_hbm, bu_hbm, bv_hbm,
                     dnu_hbm, dnv_hbm)
@@ -867,6 +906,27 @@ def _relax_du_streamed(
             slab = jnp.where(gxs == cwv, pltpu.roll(slab, 2, 1), slab)
             return slab[2:, :]                # (C+4, wb), vr s-2..
 
+        def slab6_fused(buf, st, i, s):
+            """slab6_maintained with the pre-sweep top rows read from the
+            VMEM stash (the fused sweep 0 already overwrote chunk i-1 in
+            HBM, so its top-block DMA would see POST-sweep rows); chunk 0
+            takes its mirror rows from the mid section instead of the
+            (skipped) top block."""
+            rows = []
+            for vr_off in (-4, -3, -2, -1):
+                m = 8 + (-vr_off)          # mirror: global row -vr_off
+                r = 8 + vr_off             # stash holds [s-8, s)
+                rows.append(jnp.where(i == 0, buf[m:m + 1, :],
+                                      st[r:r + 1, :]))
+            slab = jnp.concatenate(
+                rows + [buf[8:8 + C, :], buf[8 + C:9 + C, :],
+                        buf[9 + C:10 + C, :]], axis=0
+            )
+            gys, gxs = chunk_coords(s, C + 6, base=-4)
+            slab = jnp.where(gys == chv, pltpu.roll(slab, 2, 0), slab)
+            slab = jnp.where(gxs == cwv, pltpu.roll(slab, 2, 1), slab)
+            return slab[2:, :]                # (C+4, wb), vr s-2..
+
         def slab4_buf(buf, i):
             r0 = jnp.where(i == 0, buf[2:3, :], buf[6:7, :])
             r1 = jnp.where(i == 0, buf[1:2, :], buf[7:8, :])
@@ -895,10 +955,14 @@ def _relax_du_streamed(
             srcs = (u_hbm, v_hbm, du_hbm, dv_hbm)
             copies = []
             for k, src in enumerate(srcs):
-                copies += [
-                    pltpu.make_async_copy(
+                if not (fuse0 and k >= 2):
+                    # Fused mode replaces the iterate top blocks with the
+                    # pre-sweep VMEM stash (HBM already holds post-sweep
+                    # rows there).
+                    copies.append(pltpu.make_async_copy(
                         src.at[pl.ds(top_start, 8), :],
-                        pbuf.at[k, 0:8, :], sem_pin.at[3 * k]),
+                        pbuf.at[k, 0:8, :], sem_pin.at[3 * k]))
+                copies += [
                     pltpu.make_async_copy(
                         src.at[pl.ds(s, C), :],
                         pbuf.at[k, 8:8 + C, :], sem_pin.at[3 * k + 1]),
@@ -920,8 +984,12 @@ def _relax_du_streamed(
 
             u_s = slab4_buf(pbuf[0], i)
             v_s = slab4_buf(pbuf[1], i)
-            du_s = slab6_maintained(pbuf[2], i, s)
-            dv_s = slab6_maintained(pbuf[3], i, s)
+            if fuse0:
+                du_s = slab6_fused(pbuf[2], pstash[0], i, s)
+                dv_s = slab6_fused(pbuf[3], pstash[1], i, s)
+            else:
+                du_s = slab6_maintained(pbuf[2], i, s)
+                dv_s = slab6_maintained(pbuf[3], i, s)
             u_c4, u_xp, u_xm, u_yp, u_ym = sh4(u_s)
             v_c4, v_xp, v_xm, v_yp, v_ym = sh4(v_s)
             du_c4, du_xp, du_xm, du_yp, du_ym = sh4(du_s)
@@ -995,9 +1063,63 @@ def _relax_du_streamed(
             tbuf[slot, 6] = ksi * J22 + sumH
             for cp in term_out_dmas(slot, s):
                 cp.start()
+
+            if fuse0:
+                # ---- fused sweep 0: zero extra HBM reads -------------
+                # Pre-sweep iterate slab (C+2 rows) from the staged
+                # chunk; top halo row s-1 from the stash (chunk i-1's
+                # pre-sweep last row), exactly sweep_chunk's slab2.
+                mid_du = pbuf[2, 8:8 + C, :]
+                mid_dv = pbuf[3, 8:8 + C, :]
+                top_du = jnp.where(i == 0, mid_du[1:2, :], pstash[0, 7:8, :])
+                top_dv = jnp.where(i == 0, mid_dv[1:2, :], pstash[1, 7:8, :])
+                du_sl = jnp.concatenate(
+                    [top_du, mid_du, pbuf[2, 8 + C:9 + C, :]], axis=0)
+                dv_sl = jnp.concatenate(
+                    [top_dv, mid_dv, pbuf[3, 8 + C:9 + C, :]], axis=0)
+                du_cc = du_sl[1:-1, :]
+                dv_cc = dv_sl[1:-1, :]
+                spw_xp = tbuf[slot, 0]
+                spw_xm = _derive_pw_xm(spw_xp, gxs)
+                spw_yp = tbuf[slot, 1]
+                # pw_yp row s-1 from the 1-row stash; row 0 is masked.
+                spw_ym = jnp.where(
+                    gys == 0, jnp.float32(0.0),
+                    jnp.concatenate([pwrow[0:1, :], spw_yp[:-1, :]], axis=0),
+                )
+                new_du, new_dv = sweep_update_du(
+                    (_shift_xp(du_cc), _shift_xm(du_cc),
+                     du_sl[2:, :], du_sl[:-2, :]),
+                    (_shift_xp(dv_cc), _shift_xm(dv_cc),
+                     dv_sl[2:, :], dv_sl[:-2, :]),
+                    dv_cc, (spw_xp, spw_xm, spw_yp, spw_ym),
+                    tbuf[slot, 2], tbuf[slot, 3], tbuf[slot, 4],
+                    tbuf[slot, 5], tbuf[slot, 6],
+                )
+
+                @pl.when(i >= 2)
+                def _():
+                    for cp in sweep_out_dmas(slot, (i - 2) * C):
+                        cp.wait()
+
+                obuf[slot, 0] = new_du
+                obuf[slot, 1] = new_dv
+                for cp in sweep_out_dmas(slot, s):
+                    cp.start()
+                # Pre-sweep state for chunk i+1's prologue top block and
+                # its sweep/pw_ym halo rows (pbuf still holds pre-sweep
+                # values; chunk i+1's DMAs only start after this body).
+                pstash[0] = pbuf[2, C:C + 8, :]
+                pstash[1] = pbuf[3, C:C + 8, :]
+                pwrow[0:1, :] = spw_yp[C - 1:C, :]
             return carry
 
         # ---- sweeps: double-buffered in/out chunk pipeline -----------
+        # The in-DMAs read C + 8 rows of the iterate and the term fields
+        # (mid chunk + an aligned bottom block): the 8 extra rows feed
+        # the k-sweep wavefront (levels j < k extend k - j rows past the
+        # chunk); at k = 1 only 1 extra row is consumed (the Jacobi
+        # bottom halo), exactly the round-4 layout.
         def sweep_in_dmas(slot, i, s):
             top_start, bot_start = starts(s)
             dmas = []
@@ -1018,14 +1140,21 @@ def _relax_du_streamed(
                 pltpu.make_async_copy(
                     pwyp_hbm.at[pl.ds(s, C), :],
                     pwybuf.at[slot, 8:8 + C, :], sem_sin.at[slot, 5]),
+                pltpu.make_async_copy(
+                    pwyp_hbm.at[pl.ds(bot_start, 8), :],
+                    pwybuf.at[slot, 8 + C:16 + C, :], sem_sin.at[slot, 6]),
             ]
             others = (pwxp_hbm, a12_hbm, bu_hbm, bv_hbm, dnu_hbm, dnv_hbm)
-            dmas += [
-                pltpu.make_async_copy(
-                    others[k].at[pl.ds(s, C), :], tin.at[slot, k],
-                    sem_sin.at[slot, 6 + k])
-                for k in range(6)
-            ]
+            for k in range(6):
+                dmas += [
+                    pltpu.make_async_copy(
+                        others[k].at[pl.ds(s, C), :],
+                        tin.at[slot, k, 0:C, :], sem_sin.at[slot, 7 + 2 * k]),
+                    pltpu.make_async_copy(
+                        others[k].at[pl.ds(bot_start, 8), :],
+                        tin.at[slot, k, C:C + 8, :],
+                        sem_sin.at[slot, 8 + 2 * k]),
+                ]
             return dmas
 
         def sweep_out_dmas(slot, s):
@@ -1038,60 +1167,112 @@ def _relax_du_streamed(
                     sem_sout.at[slot, 1]),
             ]
 
-        def sweep_chunk(i, carry):
-            s = pl.multiple_of(i * C, C)
-            slot = i % 2
-            for cp in sweep_in_dmas(slot, i, s):
-                cp.wait()
+        def make_sweep_chunk(kk):
+            """Chunk body applying kk Jacobi sweeps in one streaming
+            pass (trapezoid wavefront): level j in 1..kk computes rows
+            [s, s + C + kk - j); the extra rows feed level j+1 in-VMEM
+            so the seam values chunk i+1 would need are recomputed
+            there instead (value-exact redundant compute, as in the
+            sharded k-outer halo fusion). Cross-chunk state: lstash
+            holds each level's value at row s+C-1 (chunk i+1's top
+            halo, one row per level 0..kk-1).
 
-            @pl.when(i + 1 < n_chunks)
-            def _():
-                s_n = pl.multiple_of((i + 1) * C, C)
-                for cp in sweep_in_dmas((i + 1) % 2, i + 1, s_n):
-                    cp.start()
+            Bottom-bucket note: for the last chunk the extended rows
+            past hb read the duplicated bottom-block rows — finite
+            garbage whose only path into a real row is the yp term of
+            row hb-1, whose weight the valid-edge mask zeroes (the same
+            argument that makes the round-4 single-sweep bottom row a
+            don't-care)."""
+            M = [C + kk - j for j in range(kk + 1)]  # input, level 1..kk
 
-            def slab2(k, stash_row):
-                mid = sbuf[slot, k, 0:C, :]
-                top = jnp.where(i == 0, mid[1:2, :], stash_row)
-                bot = sbuf[slot, k, C:C + 1, :]
-                return jnp.concatenate([top, mid, bot], axis=0)
-
-            du_s = slab2(0, stash[0:1, :])
-            dv_s = slab2(1, stash[1:2, :])
-            new_stash_du = du_s[C:C + 1, :]
-            new_stash_dv = dv_s[C:C + 1, :]
-
-            du_c = du_s[1:-1, :]
-            dv_c = dv_s[1:-1, :]
-            gys, gxs = chunk_coords(s, C)
-            pw_xp = tin[slot, 0]
-            pw_xm = _derive_pw_xm(pw_xp, gxs)
-            top_p = jnp.where(i == 0, pwybuf[slot, 0:1, :],
-                              pwybuf[slot, 7:8, :])
-            pw_yp = pwybuf[slot, 8:8 + C, :]
-            pw_ym = jnp.where(
-                gys == 0, jnp.float32(0.0),
-                jnp.concatenate([top_p, pw_yp[:-1, :]], axis=0),
-            )
-            new_du, new_dv = sweep_update_du(
-                (_shift_xp(du_c), _shift_xm(du_c), du_s[2:, :], du_s[:-2, :]),
-                (_shift_xp(dv_c), _shift_xm(dv_c), dv_s[2:, :], dv_s[:-2, :]),
-                dv_c, (pw_xp, pw_xm, pw_yp, pw_ym), tin[slot, 1],
-                tin[slot, 2], tin[slot, 3], tin[slot, 4], tin[slot, 5],
-            )
-
-            @pl.when(i >= 2)
-            def _():
-                for cp in sweep_out_dmas(slot, (i - 2) * C):
+            def sweep_chunk_k(i, carry):
+                s = pl.multiple_of(i * C, C)
+                slot = i % 2
+                for cp in sweep_in_dmas(slot, i, s):
                     cp.wait()
 
-            obuf[slot, 0] = new_du
-            obuf[slot, 1] = new_dv
-            for cp in sweep_out_dmas(slot, s):
-                cp.start()
-            stash[0:1, :] = new_stash_du
-            stash[1:2, :] = new_stash_dv
-            return carry
+                @pl.when(i + 1 < n_chunks)
+                def _():
+                    s_n = pl.multiple_of((i + 1) * C, C)
+                    for cp in sweep_in_dmas((i + 1) % 2, i + 1, s_n):
+                        cp.start()
+
+                # Previous chunk's per-level seam rows (loaded before
+                # this chunk overwrites them).
+                prev_du = [lstash[0, j:j + 1, :] for j in range(kk)]
+                prev_dv = [lstash[1, j:j + 1, :] for j in range(kk)]
+                pwy = pwybuf[slot]
+                top_p = jnp.where(i == 0, pwy[0:1, :], pwy[7:8, :])
+
+                in_du = sbuf[slot, 0, 0:M[0], :]
+                in_dv = sbuf[slot, 1, 0:M[0], :]
+                new_stash_du = [in_du[C - 1:C, :]]
+                new_stash_dv = [in_dv[C - 1:C, :]]
+                # cur_*: level-(j-1) values for rows [s-1, s+M[j-1]).
+                cur_du = jnp.concatenate(
+                    [jnp.where(i == 0, in_du[1:2, :], prev_du[0]), in_du],
+                    axis=0)
+                cur_dv = jnp.concatenate(
+                    [jnp.where(i == 0, in_dv[1:2, :], prev_dv[0]), in_dv],
+                    axis=0)
+                new_du = new_dv = None
+                for j in range(1, kk + 1):
+                    m = M[j]
+                    du_c = cur_du[1:1 + m, :]
+                    dv_c = cur_dv[1:1 + m, :]
+                    gys, gxs = chunk_coords(s, m)
+                    pw_xp = tin[slot, 0, 0:m, :]
+                    pw_xm = _derive_pw_xm(pw_xp, gxs)
+                    pw_yp = pwy[8:8 + m, :]
+                    pw_ym = jnp.where(
+                        gys == 0, jnp.float32(0.0),
+                        jnp.concatenate([top_p, pwy[8:8 + m - 1, :]],
+                                        axis=0),
+                    )
+                    new_du, new_dv = sweep_update_du(
+                        (_shift_xp(du_c), _shift_xm(du_c),
+                         cur_du[2:2 + m, :], cur_du[0:m, :]),
+                        (_shift_xp(dv_c), _shift_xm(dv_c),
+                         cur_dv[2:2 + m, :], cur_dv[0:m, :]),
+                        dv_c, (pw_xp, pw_xm, pw_yp, pw_ym),
+                        tin[slot, 1, 0:m, :], tin[slot, 2, 0:m, :],
+                        tin[slot, 3, 0:m, :], tin[slot, 4, 0:m, :],
+                        tin[slot, 5, 0:m, :],
+                    )
+                    if j < kk:
+                        new_stash_du.append(new_du[C - 1:C, :])
+                        new_stash_dv.append(new_dv[C - 1:C, :])
+                        cur_du = jnp.concatenate(
+                            [jnp.where(i == 0, new_du[1:2, :], prev_du[j]),
+                             new_du], axis=0)
+                        cur_dv = jnp.concatenate(
+                            [jnp.where(i == 0, new_dv[1:2, :], prev_dv[j]),
+                             new_dv], axis=0)
+
+                @pl.when(i >= 2)
+                def _():
+                    for cp in sweep_out_dmas(slot, (i - 2) * C):
+                        cp.wait()
+
+                obuf[slot, 0] = new_du
+                obuf[slot, 1] = new_dv
+                for cp in sweep_out_dmas(slot, s):
+                    cp.start()
+                for j in range(kk):
+                    lstash[0, j:j + 1, :] = new_stash_du[j]
+                    lstash[1, j:j + 1, :] = new_stash_dv[j]
+                return carry
+
+            return sweep_chunk_k
+
+        # Pass schedule: ceil(remaining / ksweep) streaming passes of
+        # min(ksweep, remaining) fused sweeps each.
+        rem = inner - (1 if fuse0 else 0)
+        passes = []
+        while rem > 0:
+            passes.append(min(ksweep, rem))
+            rem -= passes[-1]
+        chunk_fns = {kk: make_sweep_chunk(kk) for kk in set(passes)}
 
         def outer_body(o, carry):
             jax.lax.fori_loop(0, n_chunks, prologue_chunk, 0)
@@ -1100,12 +1281,19 @@ def _relax_du_streamed(
             for tail in range(max(0, n_chunks - 2), n_chunks):
                 for cp in term_out_dmas(tail % 2, tail * C):
                     cp.wait()
-            for _j in range(inner):
+            if fuse0:
+                # Barrier: the fused sweep 0's trailing iterate
+                # writebacks before sweep 1's (or the next outer's
+                # prologue) reads.
+                for tail in range(max(0, n_chunks - 2), n_chunks):
+                    for cp in sweep_out_dmas(tail % 2, tail * C):
+                        cp.wait()
+            for kk in passes:
                 for cp in sweep_in_dmas(0, 0, 0):
                     cp.start()
-                jax.lax.fori_loop(0, n_chunks, sweep_chunk, 0)
+                jax.lax.fori_loop(0, n_chunks, chunk_fns[kk], 0)
                 # Barrier: trailing iterate writebacks before the next
-                # sweep's (or prologue's) reads.
+                # pass's (or prologue's) reads.
                 for tail in range(max(0, n_chunks - 2), n_chunks):
                     for cp in sweep_out_dmas(tail % 2, tail * C):
                         cp.wait()
@@ -1130,13 +1318,15 @@ def _relax_du_streamed(
             pltpu.VMEM((n_const, C, wb), jnp.float32),    # cbuf
             pltpu.VMEM((2, 7, C, wb), jnp.float32),       # tbuf
             pltpu.VMEM((2, 2, C + 8, wb), jnp.float32),   # sbuf
-            pltpu.VMEM((2, C + 8, wb), jnp.float32),      # pwybuf
-            pltpu.VMEM((2, 6, C, wb), jnp.float32),       # tin
+            pltpu.VMEM((2, C + 16, wb), jnp.float32),     # pwybuf
+            pltpu.VMEM((2, 6, C + 8, wb), jnp.float32),   # tin
             pltpu.VMEM((2, 2, C, wb), jnp.float32),       # obuf
-            pltpu.VMEM((2, wb), jnp.float32),                 # stash
+            pltpu.VMEM((2, 8, wb), jnp.float32),              # lstash
+            pltpu.VMEM((2, 8, wb), jnp.float32),              # pstash
+            pltpu.VMEM((1, wb), jnp.float32),                 # pwrow
             pltpu.SemaphoreType.DMA((12 + n_const,)),         # sem_pin
             pltpu.SemaphoreType.DMA((2, 7)),                  # sem_pout
-            pltpu.SemaphoreType.DMA((2, 12)),                 # sem_sin
+            pltpu.SemaphoreType.DMA((2, 20)),                 # sem_sin
             pltpu.SemaphoreType.DMA((2, 2)),                  # sem_sout
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1150,4 +1340,6 @@ def _relax_du_streamed(
         ),
         interpret=interpret,
     )(*smem_i, *smem_f, u, v, du0, dv0, *consts)
+    if os.environ.get("TPUFLOW_DEBUG_STREAM_ALL") == "1":  # test-only probe
+        return out
     return out[0], out[1]

@@ -60,6 +60,42 @@ class FlowResult:
         return (w * h) / self.seconds / 1e6
 
 
+def plan_parallel(shape: Tuple[int, int], batched: bool, cfg: FlowConfig,
+                  mesh) -> str:
+    """The front-door routing decision (round-5 verdict #7): which
+    parallel strategy `compute_flow(..., mesh=)` uses, chosen by the
+    same cost model that routes the sharded pipeline per level
+    (parallel.model.plan_level).
+
+      (B, H, W)    -> "dp"     always: pairs are independent, so one
+                               pair per chip with the full local engine
+                               is throughput-optimal whenever a frame
+                               fits one chip (projected dp efficiency
+                               ~1.0 vs the hybrid's 0.83 at n=8/1080p —
+                               the hybrid is the LATENCY specialist,
+                               reached explicitly via
+                               compute_flow_bucketed_hybrid).
+      single pair  -> "sp"     if the router would shard the finest
+                               bucket over the mesh's 'y' axis (the
+                               projection says row-sharding beats one
+                               chip in latency — even rub-size gains
+                               2.6x at n=8),
+                      "single" otherwise (tiny frames: every level
+                               replicates; sharding only adds cost).
+    """
+    from tpuflow.parallel.model import plan_level
+    from tpuflow.solver.bucketed import bucket_dims
+
+    if batched:
+        return "dp"
+    n_y = dict(zip(mesh.axis_names, mesh.devices.shape)).get("y", 1)
+    h, w = shape
+    specs = level_schedule(w, h, cfg.warp_levels_count, cfg.warp_scale_factor)
+    hb, wb = bucket_dims(specs[-1].width, specs[-1].height)
+    shardable = n_y > 1 and plan_level(hb, wb, cfg, n_y)[0] != "replicated"
+    return "sp" if shardable else "single"
+
+
 def compute_flow(
     frame_0,
     frame_1,
@@ -68,12 +104,24 @@ def compute_flow(
     collect_trace: bool = False,
     fused: bool = False,
     engine: Optional[str] = None,
+    mesh=None,
 ) -> FlowResult:
     """Compute dense 2D optical flow from frame_0 to frame_1.
 
-    Frames are (H, W) arrays (numpy or jax), any real dtype; computation is
+    THE front door. Frames are (H, W) arrays (numpy or jax), any real
+    dtype — or (B, H, W) stacks of independent pairs; computation is
     float32. The returned flow is in original-pixel units, like the
     reference.
+
+    mesh: a `jax.sharding.Mesh` (see `tpuflow.parallel.make_mesh`) to
+    scale over multiple chips. The strategy is routed automatically by
+    the cost model (`plan_parallel`): batches run data-parallel (one
+    pair per chip, throughput-optimal); single pairs large enough that
+    row sharding pays run sharded with the per-level halo router; tiny
+    single pairs run on one chip. The specialist entry points
+    (`compute_flow_bucketed_batch/_sharded/_hybrid`, `process_sequence`)
+    remain available for explicit control (e.g. the dp x sp hybrid for
+    latency-sensitive batched large-frame work).
 
     engine: "bucketed" (default — one compiled program serves the whole
     pyramid, any constancy) or "levels" (one program per level shape;
@@ -86,8 +134,25 @@ def compute_flow(
     cfg = cfg or FlowConfig()
     f0 = jnp.asarray(frame_0, dtype=jnp.float32)
     f1 = jnp.asarray(frame_1, dtype=jnp.float32)
-    if f0.ndim != 2 or f0.shape != f1.shape:
-        raise ValueError(f"expected two equal (H, W) frames, got {f0.shape} {f1.shape}")
+    if f0.shape != f1.shape or f0.ndim not in (2, 3):
+        raise ValueError(
+            f"expected two equal (H, W) frames or (B, H, W) stacks, "
+            f"got {f0.shape} {f1.shape}")
+
+    if f0.ndim == 3:
+        return _compute_flow_batch_front(f0, f1, cfg, mesh)
+    if mesh is not None:
+        route = plan_parallel(f0.shape, False, cfg, mesh)
+        if route == "sp":
+            from tpuflow.solver.bucketed import compute_flow_bucketed_sharded
+
+            t0 = time.perf_counter()
+            u, v = compute_flow_bucketed_sharded(f0, f1, cfg, mesh=mesh,
+                                                 halo="auto")
+            u_host, v_host = np.asarray(u), np.asarray(v)
+            return FlowResult(u=u_host, v=v_host,
+                              seconds=time.perf_counter() - t0, levels=[])
+        # "single": fall through to the one-chip engine below.
     orig_h, orig_w = f0.shape
 
     if collect_trace:
@@ -124,6 +189,33 @@ def compute_flow(
     seconds = time.perf_counter() - t0
 
     return FlowResult(u=u_host, v=v_host, seconds=seconds, levels=traces)
+
+
+def _compute_flow_batch_front(f0, f1, cfg: FlowConfig, mesh) -> FlowResult:
+    """(B, H, W) front-door path: dp or hybrid per `plan_parallel`
+    (sequential single-pair solves when no mesh is given)."""
+    t0 = time.perf_counter()
+    if mesh is None:
+        us, vs = [], []
+        for i in range(f0.shape[0]):
+            r = compute_flow(f0[i], f1[i], cfg)
+            us.append(r.u)
+            vs.append(r.v)
+        return FlowResult(u=np.stack(us), v=np.stack(vs),
+                          seconds=time.perf_counter() - t0, levels=[])
+    from tpuflow.parallel.mesh import make_mesh
+    from tpuflow.solver.bucketed import compute_flow_bucketed_batch
+
+    # Pure dp wants EVERY device on the batch axis; the user's mesh
+    # may split them ('data', 'y') — reshape to a flat data mesh
+    # over the same devices (output is materialized to host, so the
+    # transient mesh never leaks).
+    n_dev = mesh.devices.size
+    if dict(zip(mesh.axis_names, mesh.devices.shape)).get("data") != n_dev:
+        mesh = make_mesh((n_dev, 1), devices=list(mesh.devices.flat))
+    U, V = compute_flow_bucketed_batch(f0, f1, cfg, mesh=mesh)
+    return FlowResult(u=np.asarray(U), v=np.asarray(V),
+                      seconds=time.perf_counter() - t0, levels=[])
 
 
 def compute_flow_async(
