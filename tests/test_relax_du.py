@@ -246,3 +246,31 @@ def test_streamed_ksweep_parity(monkeypatch, ksw):
                  dv[:ch, :cw] - dv_a[:ch, :cw])
     assert d.mean() < MEAN_BOUND and d.max() < 5e-2, (
         f"ksweep={ksw} vs anchor: mean {d.mean():.2e} max {d.max():.2e}")
+
+
+def test_chunked_ksweep_parity(monkeypatch):
+    """Chunked-variant k-sweep wavefront (the 1080p lever): ksw=5 vs the
+    sequential ksw=1 layout on the remainder-chunk case (hb=192 ->
+    C=128 + 64-row remainder, seams at BOTH chunk sizes), plus the
+    anchor pin."""
+    hb, wb, cw, ch = 192, 128, 100, 180
+    cfg = FlowConfig(outer_iterations_count=3, inner_iterations_count=5)
+    sc = LevelScalars.make(cw, ch, 1.0, 1.0, 35.0, 200, 190, 150, 140).tree()
+    f0, f1, u, v = make_inputs(hb, wb, cw, ch, seed=13)
+
+    monkeypatch.setenv("TPUFLOW_CHUNK_KSWEEP", "1")
+    du_1, dv_1 = run_variant("du", "chunked", f0, f1, u, v, sc, cfg)
+    monkeypatch.setenv("TPUFLOW_CHUNK_KSWEEP", "5")
+    du_5, dv_5 = run_variant("du", "chunked", f0, f1, u, v, sc, cfg)
+    d = np.hypot(du_1[:ch, :cw] - du_5[:ch, :cw],
+                 dv_1[:ch, :cw] - dv_5[:ch, :cw])
+    assert d.mean() < MEAN_BOUND and d.max() < 1e-3, (
+        f"chunked ksw=5 vs 1: mean {d.mean():.2e} max {d.max():.2e}")
+
+    du_a, dv_a = map(
+        np.asarray, _relax_dyn(f0, f1, u, v, sc, cfg, use_pallas=False)
+    )
+    d = np.hypot(du_5[:ch, :cw] - du_a[:ch, :cw],
+                 dv_5[:ch, :cw] - dv_a[:ch, :cw])
+    assert d.mean() < MEAN_BOUND and d.max() < 5e-2, (
+        f"chunked ksw=5 vs anchor: mean {d.mean():.2e} max {d.max():.2e}")

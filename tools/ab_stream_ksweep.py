@@ -11,8 +11,10 @@ K-slope of round-medians, arm-order rotated, arms alternated per round
 (CLAUDE.md traps #3/#4).
 
 Usage: python tools/ab_stream_ksweep.py [k_lo k_hi rounds] [--inner N]
-                                        [--ks 1,5]
-Prints one JSON line: {"case": "4k-stream-ksweep", "ms": {k: ...},
+                                        [--ks 1,5] [--case 4k|1080p]
+(--case 1080p times the CHUNKED variant at (1088, 2048) with
+TPUFLOW_CHUNK_KSWEEP — the 1080p slab-amortization lever)
+Prints one JSON line: {"case": f"{case}-{mode}-ksweep", "ms": {k: ...},
                        "speedup_vs_1": ...}
 """
 
@@ -42,15 +44,22 @@ def main():
     ks = [1, 5]
     if "--ks" in sys.argv:
         ks = [int(x) for x in sys.argv[sys.argv.index("--ks") + 1].split(",")]
+    case = "4k"
+    if "--case" in sys.argv:
+        case = sys.argv[sys.argv.index("--case") + 1]
+    hb, wb, mode, env = {
+        "4k": (HB4K, WB4K, "streamed", "TPUFLOW_STREAM_KSWEEP"),
+        "1080p": (1088, 2048, "chunked", "TPUFLOW_CHUNK_KSWEEP"),
+    }[case]
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from roofline_big import level_chain
 
     arms = {}
     for ksw in ks:
-        os.environ["TPUFLOW_STREAM_KSWEEP"] = str(ksw)
+        os.environ[env] = str(ksw)
         t0 = time.time()
-        fn, uv = level_chain(HB4K, WB4K, inner, "streamed")
+        fn, uv = level_chain(hb, wb, inner, mode)
         np.asarray(fn(uv, k_lo)[0])
         np.asarray(fn(uv, k_hi)[0])
         print(f"# ksweep={ksw}: compiled+warm in {time.time()-t0:.0f}s",
@@ -74,7 +83,7 @@ def main():
         med = {k: sorted(v)[len(v) // 2] for k, v in ts[ksw].items()}
         res[ksw] = (med[k_hi] - med[k_lo]) / (k_hi - k_lo)
     print(json.dumps({
-        "case": "4k-stream-ksweep",
+        "case": f"{case}-{mode}-ksweep",
         "inner": inner,
         "ms": {str(ksw): round(t * 1e3, 3) for ksw, t in res.items()},
         "speedup_vs_first": round(res[ks[0]] / res[ks[-1]], 4),

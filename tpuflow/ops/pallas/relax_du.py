@@ -98,8 +98,8 @@ def _chunk_fits(hb: int, wb: int, cfg: FlowConfig, c: int) -> bool:
     chunk_rows = (
         2 * (c + 16)                          # u, v slab buffers
         + n_const_fields(cfg) * c             # streamed constants
-        + 16 * (c + 4)                        # live chunk transients
-    )
+        + 20 * (c + 8)                        # live chunk transients
+    )                                         # (incl. k-sweep wavefront)
     need = 9 * _field_bytes(hb, wb) + chunk_rows * wb * 4
     return need <= VMEM_BUDGET_BYTES
 
@@ -480,6 +480,12 @@ def _relax_du_chunked(
     assert C is not None, (hb, wb)
     n_full, rem = hb // C, hb % C
     inner = cfg.inner_iterations_count
+    # k-sweep wavefront (round 5): kk fused sweeps per chunk pass
+    # amortize the per-sweep slab assembly + pw/term slicing the
+    # round-4 C-probes identified as the 1080p chunked-sweep tax.
+    # kk <= 8: the input slab's bottom block covers the k-row wavefront.
+    ksweep = int(os.environ.get("TPUFLOW_CHUNK_KSWEEP", "5"))
+    ksweep = max(1, min(ksweep, 8, inner))
     F = np.float32
     e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
     e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
@@ -661,69 +667,111 @@ def _relax_du_chunked(
             dnu_ref[ds, :] = ksi * J11 + sumH
             dnv_ref[ds, :] = ksi * J22 + sumH
 
-        def sweep_at(i, s, cc):
+        def sweep_at(i, s, cc, kk):
+            """kk fused Jacobi sweeps over chunk [s, s+cc) in one pass
+            (trapezoid wavefront, round 5): level j in 1..kk computes
+            rows [s, s+cc+kk-j), the extra rows feeding level j+1 with
+            exact values; the per-sweep slab assembly and pw/term reads
+            that the round-4 C-probes identified as the 1080p tax are
+            paid ONCE per kk sweeps. Cross-chunk state: `stash` carries
+            each level's value at row s+cc-1 (chunk i+1's top halos,
+            levels 0..kk-1). kk=1 is the round-4 behavior. Bottom rows
+            past the bucket read the duplicated bottom-block rows —
+            finite garbage whose only path into a real row is the
+            masked yp weight of the last valid row (the round-4
+            don't-care argument)."""
             top_start, bot_start = starts(s, cc)
-            ds = pl.ds(s, cc)
 
-            def slab2(ref, stash_row):
-                """(cc+2, wb): rows [s-1, s+cc]; row s-1 comes from the
-                stash (chunk i-1 already overwrote it in place) or the
-                global-top mirror."""
-                top_block = ref[pl.ds(top_start, 8), :]
-                top = jnp.where(i == 0, top_block[1:2, :], stash_row)
+            # Rows [s, s+cc+kk) of a full-field ref: mid + bottom block
+            # (a plain [s, s+cc+kk) slice would run past the bucket at
+    	    # the last chunk; the block's duplicated rows are the usual
+            # masked don't-cares).
+            def in_rows(ref):
                 mid = ref[pl.ds(s, cc), :]
-                bot = ref[pl.ds(bot_start, 8), :][0:1, :]
-                return jnp.concatenate([top, mid, bot], axis=0)
+                bot = ref[pl.ds(bot_start, 8), :][0:kk, :]
+                return jnp.concatenate([mid, bot], axis=0)
 
-            du_s = slab2(du_ref, stash[0:1, :])
-            dv_s = slab2(dv_ref, stash[1:2, :])
-            # Original last rows of this chunk: chunk i+1's halo.
-            new_stash_du = du_s[cc:cc + 1, :]
-            new_stash_dv = dv_s[cc:cc + 1, :]
-
-            du_c = du_s[1:-1, :]
-            dv_c = dv_s[1:-1, :]
-            du_xp = _shift_xp(du_c)
-            du_xm = _shift_xm(du_c)
-            dv_xp = _shift_xp(dv_c)
-            dv_xm = _shift_xm(dv_c)
-            du_yp = du_s[2:, :]
-            du_ym = du_s[:-2, :]
-            dv_yp = dv_s[2:, :]
-            dv_ym = dv_s[:-2, :]
-
-            gys, gxs = chunk_coords(s, cc)
-            pw_xp = pwxp_ref[ds, :]
-            pw_xm = _derive_pw_xm(pw_xp, gxs)
+            prev_du = [stash[0, j:j + 1, :] for j in range(kk)]
+            prev_dv = [stash[1, j:j + 1, :] for j in range(kk)]
             top_p = pwyp_ref[pl.ds(top_start, 8), :]
             top_p = jnp.where(i == 0, top_p[0:1, :], top_p[7:8, :])
-            pw_yp = pwyp_ref[ds, :]
-            pw_ym = jnp.where(
-                gys == 0,
-                jnp.float32(0.0),
-                jnp.concatenate([top_p, pw_yp[:-1, :]], axis=0),
-            )
+            # Term slabs assembled once per pass (amortized over the kk
+            # levels, which slice [0:m] from them).
+            pwxp_s = in_rows(pwxp_ref)
+            pwyp_s = in_rows(pwyp_ref)
+            a12_s = in_rows(a12_ref)
+            bu_s = in_rows(bu_ref)
+            bv_s = in_rows(bv_ref)
+            dnu_s = in_rows(dnu_ref)
+            dnv_s = in_rows(dnv_ref)
 
-            new_du, new_dv = sweep_update_du(
-                (du_xp, du_xm, du_yp, du_ym), (dv_xp, dv_xm, dv_yp, dv_ym),
-                dv_c, (pw_xp, pw_xm, pw_yp, pw_ym), a12_ref[ds, :],
-                bu_ref[ds, :], bv_ref[ds, :], dnu_ref[ds, :], dnv_ref[ds, :],
-            )
-            du_ref[ds, :] = new_du
-            dv_ref[ds, :] = new_dv
-            stash[0:1, :] = new_stash_du
-            stash[1:2, :] = new_stash_dv
+            in_du = in_rows(du_ref)
+            in_dv = in_rows(dv_ref)
+            new_stash_du = [in_du[cc - 1:cc, :]]
+            new_stash_dv = [in_dv[cc - 1:cc, :]]
+            cur_du = jnp.concatenate(
+                [jnp.where(i == 0, in_du[1:2, :], prev_du[0]), in_du], axis=0)
+            cur_dv = jnp.concatenate(
+                [jnp.where(i == 0, in_dv[1:2, :], prev_dv[0]), in_dv], axis=0)
+            new_du = new_dv = None
+            for j in range(1, kk + 1):
+                m = cc + kk - j
+                du_c = cur_du[1:1 + m, :]
+                dv_c = cur_dv[1:1 + m, :]
+                gys, gxs = chunk_coords(s, m)
+                pw_xp = pwxp_s[0:m, :]
+                pw_xm = _derive_pw_xm(pw_xp, gxs)
+                pw_yp = pwyp_s[0:m, :]
+                pw_ym = jnp.where(
+                    gys == 0, jnp.float32(0.0),
+                    jnp.concatenate([top_p, pw_yp[:-1, :]], axis=0),
+                )
+                new_du, new_dv = sweep_update_du(
+                    (_shift_xp(du_c), _shift_xm(du_c),
+                     cur_du[2:2 + m, :], cur_du[0:m, :]),
+                    (_shift_xp(dv_c), _shift_xm(dv_c),
+                     cur_dv[2:2 + m, :], cur_dv[0:m, :]),
+                    dv_c, (pw_xp, pw_xm, pw_yp, pw_ym), a12_s[0:m, :],
+                    bu_s[0:m, :], bv_s[0:m, :], dnu_s[0:m, :],
+                    dnv_s[0:m, :],
+                )
+                if j < kk:
+                    new_stash_du.append(new_du[cc - 1:cc, :])
+                    new_stash_dv.append(new_dv[cc - 1:cc, :])
+                    cur_du = jnp.concatenate(
+                        [jnp.where(i == 0, new_du[1:2, :], prev_du[j]),
+                         new_du], axis=0)
+                    cur_dv = jnp.concatenate(
+                        [jnp.where(i == 0, new_dv[1:2, :], prev_dv[j]),
+                         new_dv], axis=0)
+
+            ds = pl.ds(s, cc)
+            du_ref[ds, :] = new_du[0:cc, :]
+            dv_ref[ds, :] = new_dv[0:cc, :]
+            for j in range(kk):
+                stash[0, j:j + 1, :] = new_stash_du[j]
+                stash[1, j:j + 1, :] = new_stash_dv[j]
 
         def prologue_chunk(i, carry):
             prologue_at(i, pl.multiple_of(i * C, 8), C)
             return carry
 
-        def sweep_chunk(i, carry):
-            sweep_at(i, pl.multiple_of(i * C, 8), C)
-            return carry
+        def make_sweep_chunk(kk):
+            def sweep_chunk_k(i, carry):
+                sweep_at(i, pl.multiple_of(i * C, 8), C, kk)
+                return carry
+
+            return sweep_chunk_k
 
         du_ref[:] = jnp.zeros((hb, wb), jnp.float32)
         dv_ref[:] = jnp.zeros((hb, wb), jnp.float32)
+
+        rem_s = inner
+        passes = []
+        while rem_s > 0:
+            passes.append(min(ksweep, rem_s))
+            rem_s -= passes[-1]
+        chunk_fns = {kk: make_sweep_chunk(kk) for kk in set(passes)}
 
         def outer_body(_, carry):
             maintain1(du_ref)
@@ -731,10 +779,10 @@ def _relax_du_chunked(
             jax.lax.fori_loop(0, n_full, prologue_chunk, 0)
             if rem:
                 prologue_at(n_full, n_full * C, rem)
-            for _j in range(inner):
-                jax.lax.fori_loop(0, n_full, sweep_chunk, 0)
+            for kk in passes:
+                jax.lax.fori_loop(0, n_full, chunk_fns[kk], 0)
                 if rem:
-                    sweep_at(n_full, n_full * C, rem)
+                    sweep_at(n_full, n_full * C, rem, kk)
             return carry
 
         jax.lax.fori_loop(0, cfg.outer_iterations_count, outer_body, 0)
@@ -761,7 +809,7 @@ def _relax_du_chunked(
             pltpu.VMEM((C + 16, wb), jnp.float32),   # ubuf
             pltpu.VMEM((C + 16, wb), jnp.float32),   # vbuf
             pltpu.VMEM((n_const, C, wb), jnp.float32),
-            pltpu.VMEM((2, wb), jnp.float32),            # stash
+            pltpu.VMEM((2, 8, wb), jnp.float32),         # stash (per-level)
             pltpu.SemaphoreType.DMA((6 + n_const,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),

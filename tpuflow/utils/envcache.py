@@ -19,7 +19,7 @@ TRACE_ENV_FLAGS = (
     "TPUFLOW_BANDED_COLS", "TPUFLOW_FUSED_LEVEL", "TPUFLOW_WHOLE_LEVEL",
     "TPUFLOW_DISABLE_PALLAS", "TPUFLOW_SMOOTH", "TPUFLOW_KERNEL_SHIFT",
     "TPUFLOW_DU_ITERATE", "TPUFLOW_WARP_DISP", "TPUFLOW_HALO_K",
-    "TPUFLOW_STREAM_FUSE0",
+    "TPUFLOW_STREAM_FUSE0", "TPUFLOW_STREAM_KSWEEP", "TPUFLOW_CHUNK_KSWEEP",
 )
 
 
