@@ -888,8 +888,19 @@ def _relax_du_streamed(
     # the level-(j-1) values the sequential sweeps would (redundant
     # k-row recompute at chunk seams, stash for the top halo rows) —
     # the same value-exact scheme as the sharded k-outer halo fusion
-    # (parallel/halo.py). ksweep=1 is the round-4 behavior.
-    ksweep = int(os.environ.get("TPUFLOW_STREAM_KSWEEP", "5"))
+    # (parallel/halo.py).
+    #
+    # MEASURED NEGATIVE at the 4K bucket (round 5, order-rotated
+    # interleaved K-slope, 8 rounds): ksweep=5 is 1.54x SLOWER than the
+    # sequential layout (97.8 vs 63.5 ms/level) — the level is NOT
+    # HBM-traffic-bound in practice (the sequential rate implies an
+    # apparent ~1.6 TB/s stream, above the 866 GB/s chained-add anchor,
+    # i.e. the DMA engine overlaps read+write streams beyond the naive
+    # pass-count model), so collapsing 5 pipelined sweeps into one
+    # compute-serial wavefront pass trades hidden DMA for exposed
+    # compute. Default 1 (the round-4 behavior); the knob remains for
+    # re-testing on other hardware.
+    ksweep = int(os.environ.get("TPUFLOW_STREAM_KSWEEP", "1"))
     ksweep = max(1, min(ksweep, 8, inner))
     if fuse0:
         ksweep = 1  # the two fusions' stashes are not composed
