@@ -130,10 +130,10 @@ def _stream_window_fits(wb: int, cfg: FlowConfig, c: int) -> bool:
     window_rows = (
         2 * 2 * (c + 16)                  # du, dv in-slabs x 2 slots
         + 2 * 2 * c                       # out chunks x 2 slots
-        + 4 * (c + 16)                    # u, v, du, dv prologue staging
+        + 2 * 4 * (c + 16)                # prologue staging x 2 slots
         + 2 * 7 * c                       # term staging x 2 slots
         + 2 * 6 * (c + 8) + 2 * (c + 16)  # sweep term windows x 2 slots
-        + n_const_fields(cfg) * c         # streamed constants
+        + 2 * n_const_fields(cfg) * c     # streamed constants x 2 slots
         + 33                              # seam stashes (lstash/pstash/pwrow)
         + 24 * (c + 8)                    # transients (k-sweep wavefront)
     )
@@ -904,6 +904,7 @@ def _relax_du_streamed(
     ksweep = max(1, min(ksweep, 8, inner))
     if fuse0:
         ksweep = 1  # the two fusions' stashes are not composed
+    pro_db = os.environ.get("TPUFLOW_STREAM_PRO_DB", "1") != "0"
     F = np.float32
     e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
     e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
@@ -1007,9 +1008,7 @@ def _relax_du_streamed(
                 for k in range(7)
             ]
 
-        def prologue_chunk(i, carry):
-            s = pl.multiple_of(i * C, C)
-            slot = i % 2
+        def prologue_in_dmas(slot, i, s):
             top_start, bot_start = starts(s)
             srcs = (u_hbm, v_hbm, du_hbm, dv_hbm)
             copies = []
@@ -1020,35 +1019,55 @@ def _relax_du_streamed(
                     # rows there).
                     copies.append(pltpu.make_async_copy(
                         src.at[pl.ds(top_start, 8), :],
-                        pbuf.at[k, 0:8, :], sem_pin.at[3 * k]))
+                        pbuf.at[slot, k, 0:8, :], sem_pin.at[slot, 3 * k]))
                 copies += [
                     pltpu.make_async_copy(
                         src.at[pl.ds(s, C), :],
-                        pbuf.at[k, 8:8 + C, :], sem_pin.at[3 * k + 1]),
+                        pbuf.at[slot, k, 8:8 + C, :],
+                        sem_pin.at[slot, 3 * k + 1]),
                     pltpu.make_async_copy(
                         src.at[pl.ds(bot_start, 8), :],
-                        pbuf.at[k, 8 + C:16 + C, :],
-                        sem_pin.at[3 * k + 2]),
+                        pbuf.at[slot, k, 8 + C:16 + C, :],
+                        sem_pin.at[slot, 3 * k + 2]),
                 ]
             copies += [
                 pltpu.make_async_copy(
-                    const_refs[k].at[pl.ds(s, C), :], cbuf.at[k],
-                    sem_pin.at[12 + k])
+                    const_refs[k].at[pl.ds(s, C), :], cbuf.at[slot, k],
+                    sem_pin.at[slot, 12 + k])
                 for k in range(n_const)
             ]
-            for cp in copies:
-                cp.start()
-            for cp in copies:
+            return copies
+
+        def prologue_chunk(i, carry):
+            s = pl.multiple_of(i * C, C)
+            slot = i % 2
+            # Double-buffered input staging (round 5): chunk i's copies
+            # were started by chunk i-1 (or the pre-loop kick); start
+            # chunk i+1's into the other slot so its DMA flies under
+            # this chunk's phi/ksi/term compute — the prologue was the
+            # only serial DMA->compute section left in the kernel.
+            # TPUFLOW_STREAM_PRO_DB=0 reverts to inline start+wait (A/B).
+            if not pro_db:
+                for cp in prologue_in_dmas(slot, i, s):
+                    cp.start()
+            for cp in prologue_in_dmas(slot, i, s):
                 cp.wait()
 
-            u_s = slab4_buf(pbuf[0], i)
-            v_s = slab4_buf(pbuf[1], i)
+            if pro_db:
+                @pl.when(i + 1 < n_chunks)
+                def _():
+                    s_n = pl.multiple_of((i + 1) * C, C)
+                    for cp in prologue_in_dmas((i + 1) % 2, i + 1, s_n):
+                        cp.start()
+
+            u_s = slab4_buf(pbuf[slot, 0], i)
+            v_s = slab4_buf(pbuf[slot, 1], i)
             if fuse0:
-                du_s = slab6_fused(pbuf[2], pstash[0], i, s)
-                dv_s = slab6_fused(pbuf[3], pstash[1], i, s)
+                du_s = slab6_fused(pbuf[slot, 2], pstash[0], i, s)
+                dv_s = slab6_fused(pbuf[slot, 3], pstash[1], i, s)
             else:
-                du_s = slab6_maintained(pbuf[2], i, s)
-                dv_s = slab6_maintained(pbuf[3], i, s)
+                du_s = slab6_maintained(pbuf[slot, 2], i, s)
+                dv_s = slab6_maintained(pbuf[slot, 3], i, s)
             u_c4, u_xp, u_xm, u_yp, u_ym = sh4(u_s)
             v_c4, v_xp, v_xm, v_yp, v_ym = sh4(v_s)
             du_c4, du_xp, du_xm, du_yp, du_ym = sh4(du_s)
@@ -1080,7 +1099,7 @@ def _relax_du_streamed(
 
             du_c = du_s[2:2 + C, :]
             dv_c = dv_s[2:2 + C, :]
-            fxc, fyc, ftc = cbuf[0], cbuf[1], cbuf[2]
+            fxc, fyc, ftc = cbuf[slot, 0], cbuf[slot, 1], cbuf[slot, 2]
             sq = (
                 (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
                 + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
@@ -1092,7 +1111,8 @@ def _relax_du_streamed(
                 J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
             else:
                 J11, J22, J12, J13, J23 = (
-                    cbuf[3], cbuf[4], cbuf[5], cbuf[6], cbuf[7]
+                    cbuf[slot, 3], cbuf[slot, 4], cbuf[slot, 5],
+                    cbuf[slot, 6], cbuf[slot, 7]
                 )
             u_c = u_s[2:2 + C, :]
             v_c = v_s[2:2 + C, :]
@@ -1128,14 +1148,14 @@ def _relax_du_streamed(
                 # Pre-sweep iterate slab (C+2 rows) from the staged
                 # chunk; top halo row s-1 from the stash (chunk i-1's
                 # pre-sweep last row), exactly sweep_chunk's slab2.
-                mid_du = pbuf[2, 8:8 + C, :]
-                mid_dv = pbuf[3, 8:8 + C, :]
+                mid_du = pbuf[slot, 2, 8:8 + C, :]
+                mid_dv = pbuf[slot, 3, 8:8 + C, :]
                 top_du = jnp.where(i == 0, mid_du[1:2, :], pstash[0, 7:8, :])
                 top_dv = jnp.where(i == 0, mid_dv[1:2, :], pstash[1, 7:8, :])
                 du_sl = jnp.concatenate(
-                    [top_du, mid_du, pbuf[2, 8 + C:9 + C, :]], axis=0)
+                    [top_du, mid_du, pbuf[slot, 2, 8 + C:9 + C, :]], axis=0)
                 dv_sl = jnp.concatenate(
-                    [top_dv, mid_dv, pbuf[3, 8 + C:9 + C, :]], axis=0)
+                    [top_dv, mid_dv, pbuf[slot, 3, 8 + C:9 + C, :]], axis=0)
                 du_cc = du_sl[1:-1, :]
                 dv_cc = dv_sl[1:-1, :]
                 spw_xp = tbuf[slot, 0]
@@ -1168,8 +1188,8 @@ def _relax_du_streamed(
                 # Pre-sweep state for chunk i+1's prologue top block and
                 # its sweep/pw_ym halo rows (pbuf still holds pre-sweep
                 # values; chunk i+1's DMAs only start after this body).
-                pstash[0] = pbuf[2, C:C + 8, :]
-                pstash[1] = pbuf[3, C:C + 8, :]
+                pstash[0] = pbuf[slot, 2, C:C + 8, :]
+                pstash[1] = pbuf[slot, 3, C:C + 8, :]
                 pwrow[0:1, :] = spw_yp[C - 1:C, :]
             return carry
 
@@ -1334,6 +1354,8 @@ def _relax_du_streamed(
         chunk_fns = {kk: make_sweep_chunk(kk) for kk in set(passes)}
 
         def outer_body(o, carry):
+            for cp in prologue_in_dmas(0, 0, 0):
+                cp.start()
             jax.lax.fori_loop(0, n_chunks, prologue_chunk, 0)
             # Barrier: both slots' trailing term writebacks must land
             # before the sweeps read the term fields.
@@ -1373,8 +1395,8 @@ def _relax_du_streamed(
         # du/dv iterate in place over the zero-initialized aliases.
         input_output_aliases={8: 0, 9: 1},
         scratch_shapes=[
-            pltpu.VMEM((4, C + 16, wb), jnp.float32),     # pbuf
-            pltpu.VMEM((n_const, C, wb), jnp.float32),    # cbuf
+            pltpu.VMEM((2, 4, C + 16, wb), jnp.float32),  # pbuf
+            pltpu.VMEM((2, n_const, C, wb), jnp.float32),  # cbuf
             pltpu.VMEM((2, 7, C, wb), jnp.float32),       # tbuf
             pltpu.VMEM((2, 2, C + 8, wb), jnp.float32),   # sbuf
             pltpu.VMEM((2, C + 16, wb), jnp.float32),     # pwybuf
@@ -1383,7 +1405,7 @@ def _relax_du_streamed(
             pltpu.VMEM((2, 8, wb), jnp.float32),              # lstash
             pltpu.VMEM((2, 8, wb), jnp.float32),              # pstash
             pltpu.VMEM((1, wb), jnp.float32),                 # pwrow
-            pltpu.SemaphoreType.DMA((12 + n_const,)),         # sem_pin
+            pltpu.SemaphoreType.DMA((2, 12 + n_const)),       # sem_pin
             pltpu.SemaphoreType.DMA((2, 7)),                  # sem_pout
             pltpu.SemaphoreType.DMA((2, 20)),                 # sem_sin
             pltpu.SemaphoreType.DMA((2, 2)),                  # sem_sout
