@@ -100,6 +100,15 @@ def main():
     print(f"sp halo='kernel': EPE vs single-device "
           f"{endpoint_error(us, vs, u1, v1):.2e} px")
 
+    # The FRONT DOOR: compute_flow routes all of the above by itself —
+    # a (B, H, W) stack goes dp, a large single pair goes cost-routed
+    # sp, a tiny one runs one-chip (tpuflow.solver.flow2d.plan_parallel).
+    from tpuflow import compute_flow
+
+    res = compute_flow(F0, F1, cfg, mesh=mesh)
+    print(f"front door (batch -> dp): per-pair EPE vs single-device "
+          f"{endpoint_error(res.u[0], res.v[0], u1, v1):.2e} px")
+
     # The analytic scaling projection for this mesh's 'y' size.
     proj = project_schedule(rub_default_levels(), FlowConfig(),
                             mesh.shape["y"], "kernel")

@@ -274,3 +274,22 @@ def test_chunked_ksweep_parity(monkeypatch):
                  dv_5[:ch, :cw] - dv_a[:ch, :cw])
     assert d.mean() < MEAN_BOUND and d.max() < 5e-2, (
         f"chunked ksw=5 vs anchor: mean {d.mean():.2e} max {d.max():.2e}")
+
+
+def test_chunked_prologue_db_parity(monkeypatch):
+    """TPUFLOW_CHUNK_PRO_DB=1 (double-buffered u/v/const staging) must
+    match the default single-slot layout on the remainder-chunk case —
+    the prefetch chain crosses both the C-chunks and the trailing
+    remainder chunk."""
+    hb, wb, cw, ch = 192, 128, 100, 180
+    cfg = FlowConfig(outer_iterations_count=2, inner_iterations_count=3)
+    sc = LevelScalars.make(cw, ch, 1.0, 1.0, 35.0, 200, 190, 150, 140).tree()
+    f0, f1, u, v = make_inputs(hb, wb, cw, ch, seed=17)
+    monkeypatch.setenv("TPUFLOW_CHUNK_PRO_DB", "0")
+    du_0, dv_0 = run_variant("du", "chunked", f0, f1, u, v, sc, cfg)
+    monkeypatch.setenv("TPUFLOW_CHUNK_PRO_DB", "1")
+    du_1, dv_1 = run_variant("du", "chunked", f0, f1, u, v, sc, cfg)
+    d = np.hypot(du_0[:ch, :cw] - du_1[:ch, :cw],
+                 dv_0[:ch, :cw] - dv_1[:ch, :cw])
+    assert d.mean() < MEAN_BOUND and d.max() < 1e-3, (
+        f"chunked pro-db vs serial: mean {d.mean():.2e} max {d.max():.2e}")

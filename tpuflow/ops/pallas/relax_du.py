@@ -95,9 +95,12 @@ def fits_du_full(hb: int, wb: int, cfg: FlowConfig) -> bool:
 
 
 def _chunk_fits(hb: int, wb: int, cfg: FlowConfig, c: int) -> bool:
+    # Two staging slots under TPUFLOW_CHUNK_PRO_DB (read here at trace
+    # time so the chunk height honestly shrinks with the extra buffers).
+    n_ps = 2 if os.environ.get("TPUFLOW_CHUNK_PRO_DB", "0") == "1" else 1
     chunk_rows = (
-        2 * (c + 16)                          # u, v slab buffers
-        + n_const_fields(cfg) * c             # streamed constants
+        n_ps * 2 * (c + 16)                   # u, v slab buffers
+        + n_ps * n_const_fields(cfg) * c      # streamed constants
         + 20 * (c + 8)                        # live chunk transients
     )                                         # (incl. k-sweep wavefront)
     need = 9 * _field_bytes(hb, wb) + chunk_rows * wb * 4
@@ -486,6 +489,9 @@ def _relax_du_chunked(
     # kk <= 8: the input slab's bottom block covers the k-row wavefront.
     ksweep = int(os.environ.get("TPUFLOW_CHUNK_KSWEEP", "5"))
     ksweep = max(1, min(ksweep, 8, inner))
+    # Double-buffered u/v/const staging (A/B knob; see prologue_at).
+    pro_db = os.environ.get("TPUFLOW_CHUNK_PRO_DB", "0") == "1"
+    n_ps = 2 if pro_db else 1
     F = np.float32
     e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
     e_d2 = float(F(cfg.equation_data) * F(cfg.equation_data))
@@ -557,48 +563,79 @@ def _relax_du_chunked(
             gxs = jax.lax.broadcasted_iota(jnp.int32, (rows, wb), 1)
             return gys, gxs
 
-        def prologue_at(i, s, cc):
-            """phi/pw/terms for rows [s, s+cc) — cc is static per call
-            site (the main fori body uses C; the remainder chunk rem)."""
+        def prologue_in_dmas(slot, s, cc):
             top_start, bot_start = starts(s, cc)
-            copies = [
+            return [
                 pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(top_start, 8), :], ubuf.at[0:8, :],
-                    sem.at[0]),
+                    u_hbm.at[pl.ds(top_start, 8), :], ubuf.at[slot, 0:8, :],
+                    sem.at[slot, 0]),
                 pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(s, cc), :], ubuf.at[8:8 + cc, :],
-                    sem.at[1]),
+                    u_hbm.at[pl.ds(s, cc), :], ubuf.at[slot, 8:8 + cc, :],
+                    sem.at[slot, 1]),
                 pltpu.make_async_copy(
                     u_hbm.at[pl.ds(bot_start, 8), :],
-                    ubuf.at[8 + cc:16 + cc, :], sem.at[2]),
+                    ubuf.at[slot, 8 + cc:16 + cc, :], sem.at[slot, 2]),
                 pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(top_start, 8), :], vbuf.at[0:8, :],
-                    sem.at[3]),
+                    v_hbm.at[pl.ds(top_start, 8), :], vbuf.at[slot, 0:8, :],
+                    sem.at[slot, 3]),
                 pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(s, cc), :], vbuf.at[8:8 + cc, :],
-                    sem.at[4]),
+                    v_hbm.at[pl.ds(s, cc), :], vbuf.at[slot, 8:8 + cc, :],
+                    sem.at[slot, 4]),
                 pltpu.make_async_copy(
                     v_hbm.at[pl.ds(bot_start, 8), :],
-                    vbuf.at[8 + cc:16 + cc, :], sem.at[5]),
+                    vbuf.at[slot, 8 + cc:16 + cc, :], sem.at[slot, 5]),
             ] + [
                 pltpu.make_async_copy(
-                    const_refs[k].at[pl.ds(s, cc), :], cbuf.at[k, 0:cc, :],
-                    sem.at[6 + k])
+                    const_refs[k].at[pl.ds(s, cc), :],
+                    cbuf.at[slot, k, 0:cc, :], sem.at[slot, 6 + k])
                 for k in range(n_const)
             ]
-            for cp in copies:
-                cp.start()
 
-            # du/dv slabs from VMEM while the DMAs fly.
+        def prologue_at(i, s, cc, slot=0):
+            """phi/pw/terms for rows [s, s+cc) — cc is static per call
+            site (the main fori body uses C; the remainder chunk rem).
+
+            With TPUFLOW_CHUNK_PRO_DB=1 the u/v/const staging is
+            double-buffered: this chunk's copies were started by the
+            previous chunk (or the pre-loop kick) and the next chunk's
+            start here, flying under the phi/ksi/term compute. The
+            default keeps the round-4 single-slot layout (start, then
+            overlap only the du/dv slab work, then wait) because the
+            two-slot staging shrinks the VMEM budget enough to drop the
+            1080p chunk height 128 -> 64 — A/B on chip before flipping."""
+            top_start, bot_start = starts(s, cc)
+            if pro_db:
+                for cp in prologue_in_dmas(slot, s, cc):
+                    cp.wait()
+
+                @pl.when(i + 1 < n_full)
+                def _():
+                    s_n = pl.multiple_of((i + 1) * C, 8)
+                    for cp in prologue_in_dmas((i + 1) % n_ps, s_n, C):
+                        cp.start()
+                if rem:
+                    @pl.when(i + 1 == n_full)
+                    def _():
+                        for cp in prologue_in_dmas((i + 1) % n_ps,
+                                                   n_full * C, rem):
+                            cp.start()
+            else:
+                copies = prologue_in_dmas(slot, s, cc)
+                for cp in copies:
+                    cp.start()
+
+            # du/dv slabs from VMEM (overlapping the in-flight DMAs in
+            # the single-slot mode).
             du_s = slab4(du_ref, i, s, cc, top_start, bot_start)
             dv_s = slab4(dv_ref, i, s, cc, top_start, bot_start)
             du_c4, du_xp, du_xm, du_yp, du_ym = sh4(du_s)
             dv_c4, dv_xp, dv_xm, dv_yp, dv_ym = sh4(dv_s)
 
-            for cp in copies:
-                cp.wait()
-            u_s = slab4_buf(ubuf, i, cc)
-            v_s = slab4_buf(vbuf, i, cc)
+            if not pro_db:
+                for cp in copies:
+                    cp.wait()
+            u_s = slab4_buf(ubuf[slot], i, cc)
+            v_s = slab4_buf(vbuf[slot], i, cc)
             u_c4, u_xp, u_xm, u_yp, u_ym = sh4(u_s)
             v_c4, v_xp, v_xm, v_yp, v_ym = sh4(v_s)
 
@@ -634,7 +671,9 @@ def _relax_du_chunked(
 
             du_c = du_s[2:2 + cc, :]
             dv_c = dv_s[2:2 + cc, :]
-            fxc, fyc, ftc = cbuf[0, 0:cc, :], cbuf[1, 0:cc, :], cbuf[2, 0:cc, :]
+            fxc, fyc, ftc = (cbuf[slot, 0, 0:cc, :],
+                             cbuf[slot, 1, 0:cc, :],
+                             cbuf[slot, 2, 0:cc, :])
             sq = (
                 (fxc * fxc * du_c + fxc * fyc * dv_c + fxc * ftc) * du_c
                 + (fxc * fyc * du_c + fyc * fyc * dv_c + fyc * ftc) * dv_c
@@ -646,8 +685,9 @@ def _relax_du_chunked(
                 J12, J13, J23 = fxc * fyc, fxc * ftc, fyc * ftc
             else:
                 J11, J22, J12, J13, J23 = (
-                    cbuf[3, 0:cc, :], cbuf[4, 0:cc, :], cbuf[5, 0:cc, :],
-                    cbuf[6, 0:cc, :], cbuf[7, 0:cc, :]
+                    cbuf[slot, 3, 0:cc, :], cbuf[slot, 4, 0:cc, :],
+                    cbuf[slot, 5, 0:cc, :], cbuf[slot, 6, 0:cc, :],
+                    cbuf[slot, 7, 0:cc, :]
                 )
             u_c = u_s[2:2 + cc, :]
             v_c = v_s[2:2 + cc, :]
@@ -753,7 +793,8 @@ def _relax_du_chunked(
                 stash[1, j:j + 1, :] = new_stash_dv[j]
 
         def prologue_chunk(i, carry):
-            prologue_at(i, pl.multiple_of(i * C, 8), C)
+            prologue_at(i, pl.multiple_of(i * C, 8), C,
+                        i % n_ps if pro_db else 0)
             return carry
 
         def make_sweep_chunk(kk):
@@ -776,9 +817,13 @@ def _relax_du_chunked(
         def outer_body(_, carry):
             maintain1(du_ref)
             maintain1(dv_ref)
+            if pro_db:
+                for cp in prologue_in_dmas(0, 0, C):
+                    cp.start()
             jax.lax.fori_loop(0, n_full, prologue_chunk, 0)
             if rem:
-                prologue_at(n_full, n_full * C, rem)
+                prologue_at(n_full, n_full * C, rem,
+                            n_full % n_ps if pro_db else 0)
             for kk in passes:
                 jax.lax.fori_loop(0, n_full, chunk_fns[kk], 0)
                 if rem:
@@ -806,11 +851,11 @@ def _relax_du_chunked(
         ),
         scratch_shapes=[field() for _ in range(7)]
         + [
-            pltpu.VMEM((C + 16, wb), jnp.float32),   # ubuf
-            pltpu.VMEM((C + 16, wb), jnp.float32),   # vbuf
-            pltpu.VMEM((n_const, C, wb), jnp.float32),
+            pltpu.VMEM((n_ps, C + 16, wb), jnp.float32),   # ubuf
+            pltpu.VMEM((n_ps, C + 16, wb), jnp.float32),   # vbuf
+            pltpu.VMEM((n_ps, n_const, C, wb), jnp.float32),
             pltpu.VMEM((2, 8, wb), jnp.float32),         # stash (per-level)
-            pltpu.SemaphoreType.DMA((6 + n_const,)),
+            pltpu.SemaphoreType.DMA((n_ps, 6 + n_const)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         cost_estimate=pl.CostEstimate(

@@ -20,7 +20,7 @@ TRACE_ENV_FLAGS = (
     "TPUFLOW_DISABLE_PALLAS", "TPUFLOW_SMOOTH", "TPUFLOW_KERNEL_SHIFT",
     "TPUFLOW_DU_ITERATE", "TPUFLOW_WARP_DISP", "TPUFLOW_HALO_K",
     "TPUFLOW_STREAM_FUSE0", "TPUFLOW_STREAM_KSWEEP", "TPUFLOW_CHUNK_KSWEEP",
-    "TPUFLOW_STREAM_PRO_DB",
+    "TPUFLOW_STREAM_PRO_DB", "TPUFLOW_CHUNK_PRO_DB",
 )
 
 
