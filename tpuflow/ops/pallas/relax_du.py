@@ -1399,8 +1399,12 @@ def _relax_du_streamed(
         chunk_fns = {kk: make_sweep_chunk(kk) for kk in set(passes)}
 
         def outer_body(o, carry):
-            for cp in prologue_in_dmas(0, 0, 0):
-                cp.start()
+            if pro_db:
+                # Prime chunk 0's staging (the serial path starts its
+                # own copies inline — starting here too would signal
+                # each semaphore twice per wait).
+                for cp in prologue_in_dmas(0, 0, 0):
+                    cp.start()
             jax.lax.fori_loop(0, n_chunks, prologue_chunk, 0)
             # Barrier: both slots' trailing term writebacks must land
             # before the sweeps read the term fields.
