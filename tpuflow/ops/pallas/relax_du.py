@@ -97,7 +97,7 @@ def fits_du_full(hb: int, wb: int, cfg: FlowConfig) -> bool:
 def _chunk_fits(hb: int, wb: int, cfg: FlowConfig, c: int) -> bool:
     # Two staging slots under TPUFLOW_CHUNK_PRO_DB (read here at trace
     # time so the chunk height honestly shrinks with the extra buffers).
-    n_ps = 2 if os.environ.get("TPUFLOW_CHUNK_PRO_DB", "0") == "1" else 1
+    n_ps = 2 if os.environ.get("TPUFLOW_CHUNK_PRO_DB", "1") != "0" else 1
     chunk_rows = (
         n_ps * 2 * (c + 16)                   # u, v slab buffers
         + n_ps * n_const_fields(cfg) * c      # streamed constants
@@ -490,7 +490,7 @@ def _relax_du_chunked(
     ksweep = int(os.environ.get("TPUFLOW_CHUNK_KSWEEP", "5"))
     ksweep = max(1, min(ksweep, 8, inner))
     # Double-buffered u/v/const staging (A/B knob; see prologue_at).
-    pro_db = os.environ.get("TPUFLOW_CHUNK_PRO_DB", "0") == "1"
+    pro_db = os.environ.get("TPUFLOW_CHUNK_PRO_DB", "1") != "0"
     n_ps = 2 if pro_db else 1
     F = np.float32
     e_s2 = float(F(cfg.equation_smoothness) * F(cfg.equation_smoothness))
@@ -598,11 +598,12 @@ def _relax_du_chunked(
             With TPUFLOW_CHUNK_PRO_DB=1 the u/v/const staging is
             double-buffered: this chunk's copies were started by the
             previous chunk (or the pre-loop kick) and the next chunk's
-            start here, flying under the phi/ksi/term compute. The
-            default keeps the round-4 single-slot layout (start, then
-            overlap only the du/dv slab work, then wait) because the
-            two-slot staging shrinks the VMEM budget enough to drop the
-            1080p chunk height 128 -> 64 — A/B on chip before flipping."""
+            start here, flying under the phi/ksi/term compute. DEFAULT
+            ON (round-5 A/B at the 1080p bucket: 1.10x then 1.46x
+            reproduced, order-rotated interleaved; the two-slot staging
+            still fits C=128 — 113.5 MB of the 117.4 MB budget);
+            TPUFLOW_CHUNK_PRO_DB=0 reverts to the round-4 single-slot
+            layout (start, overlap only the du/dv slab work, wait)."""
             top_start, bot_start = starts(s, cc)
             if pro_db:
                 for cp in prologue_in_dmas(slot, s, cc):
