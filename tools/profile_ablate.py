@@ -43,12 +43,30 @@ def build(ablate: str, mm_prec: str = "highest", banded: str = "1"):
     os.environ["TPUFLOW_BANDED_RESAMPLE"] = banded
     os.environ["TPUFLOW_WHOLE_LEVEL"] = "0"
     os.environ["TPUFLOW_FUSED_LEVEL"] = "0"
-    return B.compiled_full_pipeline((388, 584), FlowConfig())
+    return B.compiled_full_pipeline(SHAPE, FlowConfig())
+
+
+SHAPE = (388, 584)
 
 
 def main():
-    f0 = read_raw_u8("/root/reference/data/rub1.raw", 584, 388)
-    f1 = read_raw_u8("/root/reference/data/rub2.raw", 584, 388)
+    global SHAPE
+    if "--size" in sys.argv:
+        name = sys.argv[sys.argv.index("--size") + 1]
+        SHAPE = {"rub": (388, 584), "1080p": (1080, 1920),
+                 "4k": (2160, 3840)}[name]
+    if SHAPE == (388, 584):
+        f0 = read_raw_u8("/root/reference/data/rub1.raw", 584, 388)
+        f1 = read_raw_u8("/root/reference/data/rub2.raw", 584, 388)
+    else:
+        h, w = SHAPE
+        rng = np.random.default_rng(0)
+        base = rng.random((h, w), np.float32) * 80
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        blob = 100.0 * np.exp(-((ys - h / 2) ** 2 + (xs - w / 2) ** 2)
+                              / (2 * 50.0 ** 2))
+        f0 = (base + blob).astype(np.float32)
+        f1 = (base + np.roll(blob, (2, 3), (0, 1))).astype(np.float32)
     f0, f1 = jnp.asarray(f0), jnp.asarray(f1)
 
     # (ablate, mm_precision, banded) variants.
@@ -88,7 +106,7 @@ def main():
     # Fence-free K-slope, per-round arm-order rotation (CLAUDE.md
     # measurement traps #3/#4 — divide-by-K numbers from earlier rounds
     # carried (fence+download)/K plus a first-arm pool transient).
-    K_LO, K_HI, ROUNDS = 8, 32, 6
+    K_LO, K_HI, ROUNDS = (8, 32, 6) if SHAPE == (388, 584) else (2, 6, 6)
     ts = {name: {K_LO: [], K_HI: []} for name in runs}
     order = list(runs)
     for r in range(ROUNDS):
