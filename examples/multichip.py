@@ -68,9 +68,13 @@ def main():
     on_tpu = devices[0].platform == "tpu"
     if not on_tpu:
         # Virtual CPU mesh: crop + small schedule so the demo finishes in
-        # ~2 minutes. On a real TPU slice run the full frames/schedule.
-        f0, f1 = f0[:194, :292], f1[:194, :292]
-        cfg = FlowConfig(warp_levels_count=4, outer_iterations_count=6,
+        # a few minutes — the dominant cost is the in-kernel ring-RDMA
+        # relaxation running in Pallas INTERPRET mode (every remote copy
+        # emulated; measured ~19x the dryrun's work at the previous
+        # 194x292/4-level/6-outer demo size, i.e. 30+ min). On a real
+        # TPU slice run the full frames/schedule.
+        f0, f1 = f0[:96, :144], f1[:96, :144]
+        cfg = FlowConfig(warp_levels_count=3, outer_iterations_count=4,
                          inner_iterations_count=2)
     else:
         cfg = FlowConfig()
