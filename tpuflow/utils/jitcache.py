@@ -37,6 +37,33 @@ def cache_entry_count(path: str) -> int:
         return 0
 
 
+def trim_cache(path: str, max_bytes: int) -> int:
+    """LRU-trim the cache dir to max_bytes (by mtime; jax does not evict
+    on its own and one 4K pipeline entry is ~100-500 MB — a round's
+    measurement session can grow the dir by tens of GB). Returns the
+    number of entries removed."""
+    try:
+        entries = [
+            (os.path.getmtime(p), os.path.getsize(p), p)
+            for n in os.listdir(path)
+            if n.endswith("-cache") and os.path.isfile(p := os.path.join(path, n))
+        ]
+    except OSError:
+        return 0
+    total = sum(sz for _, sz, _ in entries)
+    removed = 0
+    for _, sz, p in sorted(entries):
+        if total <= max_bytes:
+            break
+        try:
+            os.remove(p)
+            total -= sz
+            removed += 1
+        except OSError:
+            pass
+    return removed
+
+
 def setup_jit_cache(quiet: bool = False) -> str:
     """Point jax's persistent compilation cache at the repo-local dir.
 
@@ -61,7 +88,11 @@ def setup_jit_cache(quiet: bool = False) -> str:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    max_gb = float(os.environ.get("TPUFLOW_JIT_CACHE_MAX_GB", "40"))
+    dropped = trim_cache(path, int(max_gb * 1e9))
     if not quiet:
         n = cache_entry_count(path)
-        print(f"[tpuflow] jit-cache: {n} entries at {path}", file=sys.stderr, flush=True)
+        extra = f" (trimmed {dropped})" if dropped else ""
+        print(f"[tpuflow] jit-cache: {n} entries at {path}{extra}",
+              file=sys.stderr, flush=True)
     return path
