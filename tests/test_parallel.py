@@ -166,3 +166,19 @@ def test_front_door_batch_no_mesh_sequential():
     assert res.u.shape == (b, h, w)
     r0 = compute_flow(f0[0], f1[0], CFG)
     assert np.array_equal(res.u[0], r0.u)
+
+
+def test_front_door_single_large_routes_sp():
+    """A single pair big enough that the router shards executes through
+    the front door's sp path and matches the meshless solve."""
+    h, w = 194, 292
+    f0 = blob(h, w, 90, 140, sigma=10.0) + blob(h, w, 40, 60, sigma=6.0)
+    f1 = blob(h, w, 91, 141.5, sigma=10.0) + blob(h, w, 41, 61.5, sigma=6.0)
+    mesh = make_mesh((1, 8))
+    from tpuflow.solver.flow2d import plan_parallel
+
+    assert plan_parallel((h, w), False, CFG, mesh) == "sp"
+    r_mesh = compute_flow(f0, f1, CFG, mesh=mesh)
+    r_none = compute_flow(f0, f1, CFG)
+    e = np.mean(np.hypot(r_mesh.u - r_none.u, r_mesh.v - r_none.v))
+    assert e <= 1e-4, e
