@@ -55,6 +55,10 @@ def main():
         name = sys.argv[sys.argv.index("--size") + 1]
         SHAPE = {"rub": (388, 584), "1080p": (1080, 1920),
                  "4k": (2160, 3840)}[name]
+    if SHAPE != (388, 584):
+        # Scanned pipeline at big sizes: the 9 unrolled-variant compiles
+        # otherwise dominate the session (~10 min each, serialized).
+        os.environ.setdefault("TPUFLOW_UNROLL", "0")
     if SHAPE == (388, 584):
         f0 = read_raw_u8("/root/reference/data/rub1.raw", 584, 388)
         f1 = read_raw_u8("/root/reference/data/rub2.raw", 584, 388)
