@@ -857,8 +857,14 @@ def _whole_level_eligible(scalars, bucket, cfg: FlowConfig):
         or pallas_disabled()
         or os.environ.get("TPUFLOW_ABLATE", "")
         or os.environ.get("TPUFLOW_BANDED_RESAMPLE", "0") == "1"
-        or os.environ.get("TPUFLOW_MM_PRECISION", "highest") != "highest"
     ):
+        # NOTE (round 5): non-highest TPUFLOW_MM_PRECISION no longer
+        # disables the whole-level path — the kernel itself contains no
+        # matmuls (the resample chains feeding it are plain XLA and take
+        # the precision directly), and the old coupling biased the
+        # precision A/B by ~16 ms/pair of lost coarse-tail kernels
+        # (tools/ab_mm_1080p.py; the ablation probes that motivated the
+        # coupling pin their own envs).
         return None
     if not all(isinstance(s, (int, float, np.integer, np.floating))
                for s in scalars[:20]):
