@@ -82,14 +82,30 @@ def main():
     for ksw in ks:
         med = {k: sorted(v)[len(v) // 2] for k, v in ts[ksw].items()}
         res[ksw] = (med[k_hi] - med[k_lo]) / (k_hi - k_lo)
+
+    # SANITY BOUND (round-5 protocol): a level slope below the level's
+    # own DMA traffic at an optimistic 2 TB/s is physically impossible
+    # — the pool has entered the nonstationary state where K-slopes
+    # stop meaning anything (observed: "19 ms" for a 40x(1+5)-pass 4K
+    # level). Flag it so no conclusion is drawn from the run.
+    field_b = hb * wb * 4
+    outer = 40
+    passes_per_outer = 15 + 12.4 * -(-inner // max(ks))  # coarse lower bound
+    floor_s = outer * passes_per_outer * field_b / 2e12
+    suspect = any(t < floor_s for t in res.values())
     print(json.dumps({
         "case": f"{case}-{mode}-ksweep",
         "inner": inner,
         "ms": {str(ksw): round(t * 1e3, 3) for ksw, t in res.items()},
         "speedup_vs_first": round(res[ks[0]] / res[ks[-1]], 4),
+        "dma_floor_ms": round(floor_s * 1e3, 2),
+        "suspect": suspect,
         "k": [k_lo, k_hi],
         "rounds": rounds,
     }), flush=True)
+    if suspect:
+        print("# WARNING: slope below the DMA floor — pool state "
+              "nonstationary, DISCARD this run", file=sys.stderr)
 
 
 if __name__ == "__main__":
