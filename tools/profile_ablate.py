@@ -110,7 +110,7 @@ def main():
     # Fence-free K-slope, per-round arm-order rotation (CLAUDE.md
     # measurement traps #3/#4 — divide-by-K numbers from earlier rounds
     # carried (fence+download)/K plus a first-arm pool transient).
-    K_LO, K_HI, ROUNDS = (8, 32, 6) if SHAPE == (388, 584) else (2, 6, 6)
+    K_LO, K_HI, ROUNDS = (8, 32, 6) if SHAPE == (388, 584) else (3, 12, 8)
     ts = {name: {K_LO: [], K_HI: []} for name in runs}
     order = list(runs)
     for r in range(ROUNDS):
