@@ -81,7 +81,17 @@ def main():
     P = lvl[1] / 40 - S
     sweep_bound = SWEEP_PASSES * FIELD_B / (gbs * 1e9)
     pro_bound = PRO_PASSES * FIELD_B / (gbs * 1e9)
+    # Sanity (round-5 protocol): non-monotone levels or any level below
+    # its own DMA traffic at an optimistic 2 TB/s mean the pool state is
+    # nonstationary — flag the run as unusable instead of reporting
+    # physically impossible decompositions.
+    floors = {i: 40 * (PRO_PASSES + i * SWEEP_PASSES) * FIELD_B / 2e12
+              for i in lvl}
+    suspect = (not (lvl[1] <= lvl[2] <= lvl[5])
+               or any(lvl[i] < floors[i] for i in lvl)
+               or gbs <= 0)
     print(json.dumps({
+        "suspect": suspect,
         "case": "4k-stream-decompose",
         "hbm_anchor_gbs": round(gbs, 1),
         "level_ms": {str(i): round(t * 1e3, 3) for i, t in lvl.items()},
